@@ -14,10 +14,11 @@ CASES = manifest_cases("error")
 def test_error(case):
     doc = load_json(case["input"])
     with pytest.raises(JsonLdError) as excinfo:
-        result = expand(doc, base=case_base(case), remote_contexts=LOADER)
-        # compaction-specific errors are exercised via compact when present
-        if case["expect"] == "compaction to list of lists":
-            from racket_linkeddata_spark.core.compact import compact
-            context = load_json(case["context"]) if "context" in case else {}
-            compact(result, context, remote_contexts=LOADER)
+        expand(doc, base=case_base(case), remote_contexts=LOADER)
+        # errors raised by later stages (all manifest entries are
+        # jld:FlattenTest): run the full flatten, compacted when a
+        # context is supplied
+        from racket_linkeddata_spark.core.flatten import flatten
+        context = load_json(case["context"]) if "context" in case else None
+        flatten(doc, context, base=case_base(case), remote_contexts=LOADER)
     assert excinfo.value.code == case["expect"]
