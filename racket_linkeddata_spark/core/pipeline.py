@@ -1,0 +1,103 @@
+"""Per-document KG-construction pipeline: html -> JSON-LD -> canonical triples.
+
+This is the pure-Python hot path that runs inside Arrow-batched pandas UDFs
+(one call per document; the batch loop lives in operators/extract.py). It is
+the Spark-side realization of the reference composition
+json-ld->urdna2015-nquads-string (json-ld.rkt:2707-2712), with an added
+html extraction front end (the north rule's <script type="application/ld+json">
+step — not in the reference, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+from .context import JsonLdError
+from .nquads import serialize_quad
+from .terms import Quad, obj_columns
+from .to_rdf import to_rdf
+from .urdna2015 import CanonicalizationBudgetExceeded, canonize_quads
+
+_SCRIPT_RE = re.compile(
+    rb'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>',
+    re.DOTALL | re.IGNORECASE,
+)
+_BODY_RE = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
+
+
+def extract_jsonld_scripts(html: bytes) -> List[str]:
+    """Pull embedded JSON-LD script payloads out of an html page."""
+    return [m.decode("utf-8", "replace") for m in _SCRIPT_RE.findall(html)]
+
+
+def extract_text(html: bytes) -> str:
+    """Extract the page text (body content). The per-row invariant is that
+    this is byte-identical to the pages table's ``text`` column per url."""
+    m = _BODY_RE.search(html)
+    return (m.group(1) if m else b"").decode("utf-8", "replace")
+
+
+class DocResult(NamedTuple):
+    rows: List[Tuple]          # flat triple rows (SURVEY.md §1.1 schema)
+    n_triples: int
+    canon_hash: Optional[str]  # sha256 of canonical N-Quads (lineage column)
+    status: str                # ok | empty | error:<code>
+
+
+def page_to_triples(
+    url: str,
+    html: bytes,
+    remote_contexts: Optional[Dict[str, Any]] = None,
+    mode: str = "URDNA2015",
+    max_permutation_steps: int = 200_000,
+) -> DocResult:
+    """One page -> canonical triple rows.
+
+    All graph-level recursion and blank-node sorting stays inside this
+    per-document call (north rule confinement); blank labels are
+    ``_:c14n<N>``, deterministic for the document in isolation.
+    """
+    scripts = extract_jsonld_scripts(html)
+    quads: List[Quad] = []
+    status = "ok"
+    try:
+        for script in scripts:
+            try:
+                doc = json.loads(script)
+            except ValueError:
+                status = "error:invalid-json"
+                continue
+            quads.extend(
+                to_rdf(doc, base=url, remote_contexts=remote_contexts))
+        canon = canonize_quads(quads, max_permutation_steps) if quads else []
+    except JsonLdError as e:
+        return DocResult([], 0, None, f"error:{e.code}")
+    except CanonicalizationBudgetExceeded:
+        return DocResult([], 0, None, "error:canonicalization-budget")
+    except RecursionError:
+        return DocResult([], 0, None, "error:recursion-limit")
+
+    if not canon:
+        return DocResult([], 0, None,
+                         status if status != "ok" else "empty")
+
+    digest = hashlib.sha256(
+        "".join(serialize_quad(q) + "\n" for q in canon).encode("utf-8")
+    ).hexdigest()
+
+    rows = []
+    for q in canon:
+        kind, value, dt, lang = obj_columns(q.obj)
+        rows.append((url, q.subj, q.pred, kind, value, dt, lang, q.graph,
+                     digest, status))
+    return DocResult(rows, len(rows), digest, status)
+
+
+# Spark-facing row schema (kept in one place; operators import this)
+TRIPLE_COLUMNS = [
+    "url", "subj", "pred", "obj_kind", "obj_value", "obj_dt", "obj_lang",
+    "graph", "canon_hash", "status",
+]

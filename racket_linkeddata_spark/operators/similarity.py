@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k, all JVM-side (zip_with/aggregate
+  dot products + window top-k). Baseline and oracle-checkable.
+- lsh_topk: sign-random-projection bucketed variant — the scale path:
+  candidates come from equi-joining on hyperplane sign buckets instead of
+  the full cross product.
+
+Multimodal columns (image/audio/video as opaque binary + typed metadata)
+live in multimodal.py; their feature vectors feed these same operators.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries is small (broadcast side); corpus side streams. Rounded to 4
+    decimals with id tie-break so ranking is reproducible cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv")))
+    c = embeddings.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (q.join(c, F.col("query_id") != F.col("item_id"))
+              .select("query_id", "item_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes (seeded LCG — no RNG
+    state, same planes on every executor/run)."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((state % 2_000_001) / 1_000_000.0) - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def srp_bucket(vec_col, planes: List[List[float]]):
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, dim: Optional[int] = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket
+    (equi-join on bucket — linear shuffle, no cross product). Recall is
+    tunable via n_planes / multi-probe; exactness is not the contract."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+
+    c = embeddings.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"))
+    c = c.withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"))
+    q = F.broadcast(q.withColumn("bucket", srp_bucket(F.col("qv"), planes)))
+
+    scored = (q.join(c, "bucket")
+              .filter(F.col("query_id") != F.col("item_id"))
+              .select("query_id", "item_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,106 @@
+"""End-to-end KG-construction plan (SURVEY.md §3.2 Spark chain):
+
+pages -> [resume anti-join] -> mapInPandas(extract+expand+toRDF+canonize)
+      -> skolemize bnodes -> entity-link broadcast join
+      -> two-phase dedup (hash aggregate) -> edges / nodes
+      + page log & per-partition lineage.
+
+Scale notes (100 TB / 1000 executors):
+- extraction has NO shuffle: parquet splits -> tasks, Arrow batches;
+- the only wide dependencies are the dedup/groupBy aggregates, all
+  map-side combinable; AQE coalesces/splits their shuffles (skew-join
+  and skewed-aggregate handling replace manual salting for hot subjects,
+  with the mega-domain url skew already diluted because dedup keys are
+  triple contents, not urls);
+- the alias join is broadcast (no shuffle of the big side);
+- ``extracted`` is reused by edges/nodes/log/lineage: persist locally,
+  a staging table (Iceberg) at production scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..operators.dedup import dedup_triples, skolemize_bnodes
+from ..operators.entity_link import link_entities
+from ..operators.extract import extract_triples, triples_only
+from ..operators.lineage import page_log, partition_lineage, resume_filter
+
+
+def session(app: str = "kg", cpus: Optional[int] = None,
+            shuffle_partitions: Optional[int] = None) -> SparkSession:
+    """Opinionated local session: AQE on (coalescing + skew handling),
+    Arrow enabled for pandas UDF stages."""
+    import multiprocessing
+
+    cpus = cpus or multiprocessing.cpu_count()
+    b = (SparkSession.builder.appName(app)
+         .master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions",
+                 str(shuffle_partitions or cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+         .config("spark.driver.memory", "8g"))
+    return b.getOrCreate()
+
+
+class KgResult:
+    def __init__(self, extracted, triples, edges, nodes, log, lineage):
+        self.extracted = extracted  # raw extraction output (marker rows too)
+        self.triples = triples      # skolemized, linked, pre-dedup
+        self.edges = edges          # deduped, n_sources
+        self.nodes = nodes          # canon_uri, kind, n_mentions
+        self.log = log              # per-url page log (resume input)
+        self.lineage = lineage      # per-partition lineage rows
+
+
+def build_kg(
+    pages: DataFrame,
+    aliases: Optional[DataFrame] = None,
+    contexts_broadcast=None,
+    processed_log: Optional[DataFrame] = None,
+    snapshot_id: int = 0,
+    mode: str = "URDNA2015",
+    persist: bool = True,
+) -> KgResult:
+    if processed_log is not None:
+        pages = resume_filter(pages, processed_log)
+
+    extracted = extract_triples(pages, contexts_broadcast, mode=mode)
+    if persist:
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+
+    triples = skolemize_bnodes(triples_only(extracted))
+    if aliases is not None:
+        triples = link_entities(triples, aliases)
+
+    edges = dedup_triples(triples)
+
+    # nodes = all IRI/bnode endpoints, one hash aggregate
+    subj_nodes = triples.select(F.col("subj").alias("canon_uri"))
+    obj_nodes = (triples.filter(F.col("obj_kind") != 2)
+                 .select(F.col("obj_value").alias("canon_uri")))
+    nodes = (
+        subj_nodes.unionByName(obj_nodes)
+        .groupBy("canon_uri")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn(
+            "kind",
+            F.when(F.col("canon_uri").startswith("_:"), F.lit(1))
+            .otherwise(F.lit(0)).cast("tinyint"))
+    )
+
+    return KgResult(
+        extracted=extracted,
+        triples=triples,
+        edges=edges,
+        nodes=nodes,
+        log=page_log(extracted),
+        lineage=partition_lineage(extracted, snapshot_id),
+    )
