@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (north rule: >=0.8 between N and 4N
+executors; sandbox stand-in: the same KG job at two local[] parallelism
+levels on the same input).
+
+Levels default to N=4 vs 4N=16 with CPU affinity pinned per level: this
+box advertises 32 cores but is co-tenant-shared (a 32-process burn only
+achieves ~21 effective cores), so 8-vs-32 would measure the neighbors,
+not the engine. The harness first *calibrates* effective parallelism with
+a pure-CPU burn and records it alongside the results; each level runs the
+job best-of-3 in a fresh pinned JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _burn(k):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(k):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def calibrate(workers: int, n: int = 3_000_000) -> float:
+    """Effective parallelism of `workers` CPU-bound processes (best of 3)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    burn = _burn
+    single = min(burn(n) for _ in range(3))
+    best = 0.0
+    for _ in range(3):
+        with ProcessPoolExecutor(workers) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(burn, [n] * workers))
+            wall = time.perf_counter() - t0
+        best = max(best, workers * single / wall)
+    return round(best, 1)
+
+
+def run_level(cpus: int, sf_dir: str, n_pages: int, reps: int) -> dict:
+    """One parallelism level in a fresh JVM, CPU-affinity-pinned to
+    exactly `cpus` cores — emulating a `cpus`-core cluster; without
+    pinning, local[N] borrows the remaining cores for JVM shuffle/GC
+    threads and the small level is inflated."""
+    cmd = [sys.executable, os.path.join(HERE, "bench.py"),
+           "--cpus", str(cpus), "--sf-dir", sf_dir,
+           "--only", "kg_build", "--n-pages", str(n_pages),
+           "--reps", str(reps)]
+    total = os.cpu_count() or cpus
+    if cpus < total and os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300000"))
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_big = 4 * n_small
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+
+    cal_small = calibrate(n_small)
+    cal_big = calibrate(n_big)
+    hw_ceiling = round(cal_big / (4 * cal_small), 3)
+
+    r_small = run_level(n_small, sf_dir, n_pages, reps)
+    r_big = run_level(n_big, sf_dir, n_pages, reps)
+
+    tput_small = r_small["triples_per_sec"]
+    tput_big = r_big["triples_per_sec"]
+    efficiency = round(tput_big / (4 * tput_small), 3)
+
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — scaling evidence (north rule)
+
+Same KG-construction job (pages parquet -> extract/expand/toRDF/URDNA2015
+-> stage -> skolemize -> dedup -> edges + lineage), same input
+({n_pages} pages, {r_small['n_raw_triples']} raw triples), two CPU-pinned
+parallelism levels (sandbox stand-in for N vs 4N executors), best of
+{reps} runs per level.
+
+Host calibration: this box is co-tenant shared; a pure-CPU process burn
+achieves effective parallelism {cal_small} at {n_small} procs and
+{cal_big} at {n_big} procs — hardware scaling ceiling
+{hw_ceiling} before the engine runs at all.
+
+| level | wall sec | triples/sec | pages/sec |
+|---|---|---|---|
+| local[{n_small}]  | {r_small['queries']['kg_build']} | {tput_small} | {r_small['pages_per_sec']} |
+| local[{n_big}] | {r_big['queries']['kg_build']} | {tput_big} | {r_big['pages_per_sec']} |
+
+**Scaling efficiency (throughput_{n_big} / (4 x throughput_{n_small})):
+{efficiency}** (target >= 0.8; host hardware ceiling {hw_ceiling}).
+Normalized to the calibrated hardware ceiling the engine-attributable
+efficiency is {round(min(1.0, efficiency / hw_ceiling), 3)}.
+""")
+    print(json.dumps({
+        f"local{n_small}": tput_small, f"local{n_big}": tput_big,
+        "efficiency": efficiency, "hw_ceiling": hw_ceiling,
+        "n_pages": n_pages}))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,12 @@ def generate_node_map(
                               active_subject, active_property, list_)
         return
 
+    # copy-on-visit instead of a whole-tree deepcopy up front (the
+    # reference deep-copies the expanded doc, json-ld.rkt:2581; profiling
+    # showed deepcopy at ~15% of the per-document pipeline). All mutations
+    # below (pops, @type rewrite) hit this shallow copy only.
+    element = dict(element)
+
     graph = node_map.setdefault(active_graph, {})
 
     if "@type" in element:
@@ -174,9 +180,7 @@ def build_node_map(expanded: List[Any]):
     Returns (node_map, issuer); the issuer is reused for rdf:List bnode
     chains so labels never collide.
     """
-    import copy
-
     node_map: Dict[str, Dict[str, Any]] = {"@default": {}}
     issuer = BlankNodeIssuer()
-    generate_node_map(copy.deepcopy(expanded), node_map, issuer)
+    generate_node_map(expanded, node_map, issuer)
     return node_map, issuer

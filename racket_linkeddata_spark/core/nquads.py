@@ -15,6 +15,7 @@ tests, n-quads.rkt:564-606).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List, Optional
 
 from .terms import Literal, Quad, RDF_LANG_STRING, Term, XSD_STRING
@@ -146,10 +147,19 @@ def _uchar(c: str) -> str:
     return f'\\u{cp:04X}' if cp <= 0xFFFF else f'\\U{cp:08X}'
 
 
+@lru_cache(maxsize=65536)
 def serialize_iri(iri: str) -> str:
     """<iri> with \\uXXXX escapes for chars the grammar forbids
-    (injection-safe, n-quads.rkt:478-490)."""
+    (injection-safe, n-quads.rkt:478-490). Cached: predicates/datatypes
+    repeat across millions of quads in the pipeline hot path."""
+    if _IRI_BAD_RE.search(iri) is None:
+        return '<' + iri + '>'
     return '<' + _IRI_BAD_RE.sub(lambda m: _uchar(m.group(0)), iri) + '>'
+
+
+@lru_cache(maxsize=65536)
+def _bnode_label_ok(label: str) -> bool:
+    return _BNODE_LABEL_RE.match(label) is not None
 
 
 def _serialize_term(term: Term, position: str) -> str:
@@ -167,9 +177,9 @@ def _serialize_term(term: Term, position: str) -> str:
             return out + '^^' + serialize_iri(term.datatype)
         return out
     if term.startswith('_:'):
-        label = term[2:]
-        if not _BNODE_LABEL_RE.match(label):
-            raise NQuadsSerializeError(f"invalid blank node label: {label!r}")
+        if not _bnode_label_ok(term[2:]):
+            raise NQuadsSerializeError(
+                f"invalid blank node label: {term[2:]!r}")
         return term
     return serialize_iri(term)
 

@@ -16,10 +16,12 @@ import re
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 from .context import JsonLdError
-from .nquads import serialize_quad
 from .terms import Quad, obj_columns
 from .to_rdf import to_rdf
-from .urdna2015 import CanonicalizationBudgetExceeded, canonize_quads
+from .urdna2015 import (
+    CanonicalizationBudgetExceeded,
+    canonize_quads_with_lines,
+)
 
 _SCRIPT_RE = re.compile(
     rb'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>',
@@ -72,7 +74,8 @@ def page_to_triples(
                 continue
             quads.extend(
                 to_rdf(doc, base=url, remote_contexts=remote_contexts))
-        canon = canonize_quads(quads, max_permutation_steps) if quads else []
+        canon = (canonize_quads_with_lines(quads, max_permutation_steps)
+                 if quads else [])
     except JsonLdError as e:
         return DocResult([], 0, None, f"error:{e.code}")
     except CanonicalizationBudgetExceeded:
@@ -84,12 +87,22 @@ def page_to_triples(
         return DocResult([], 0, None,
                          status if status != "ok" else "empty")
 
+    # per-document set semantics (the reference's dataset dedup,
+    # n-quads.rkt:336-351): identical statements collapse here so the
+    # cluster-level dedup can use a plain count instead of count_distinct
+    seen = set()
+    digest_parts = []
+    uniq = []
+    for line, q in canon:
+        if line not in seen:
+            seen.add(line)
+            digest_parts.append(line)
+            uniq.append(q)
     digest = hashlib.sha256(
-        "".join(serialize_quad(q) + "\n" for q in canon).encode("utf-8")
-    ).hexdigest()
+        "\n".join(digest_parts).encode("utf-8") + b"\n").hexdigest()
 
     rows = []
-    for q in canon:
+    for q in uniq:
         kind, value, dt, lang = obj_columns(q.obj)
         rows.append((url, q.subj, q.pred, kind, value, dt, lang, q.graph,
                      digest, status))

@@ -175,12 +175,12 @@ class _State:
         return self._hash(data_to_hash), issuer
 
 
-def canonize_quads(quads: List[Quad],
-                   max_permutation_steps: int = 200_000,
-                   mode: str = "URDNA2015") -> List[Quad]:
+def _canonize(quads: List[Quad],
+              max_permutation_steps: int = 200_000,
+              mode: str = "URDNA2015"):
     """Label blank nodes ``_:c14n<N>`` deterministically (spec 4.4;
-    reference entry canonize-quads, urdna2015.rkt:88-183). Returns quads
-    with relabeled blank nodes, sorted by canonical N-Quads line."""
+    reference entry canonize-quads, urdna2015.rkt:88-183). Returns
+    (serialized line, quad) pairs sorted by canonical N-Quads line."""
     state = _State(quads, max_permutation_steps, mode)
 
     # steps 3-4: unique first-degree hashes get canonical ids immediately
@@ -221,7 +221,23 @@ def canonize_quads(quads: List[Quad],
              relabel(q.graph) if q.graph is not None else None)
         for q in quads
     ]
-    return sorted(out, key=serialize_quad)
+    paired = sorted(((serialize_quad(q), q) for q in out),
+                    key=lambda p: p[0])
+    return paired
+
+
+def canonize_quads(quads: List[Quad],
+                   max_permutation_steps: int = 200_000,
+                   mode: str = "URDNA2015") -> List[Quad]:
+    return [q for _, q in _canonize(quads, max_permutation_steps, mode)]
+
+
+def canonize_quads_with_lines(quads: List[Quad],
+                              max_permutation_steps: int = 200_000,
+                              mode: str = "URDNA2015"):
+    """(line, quad) pairs in canonical order — serialize once for both
+    sorting and downstream hashing (pipeline hot path)."""
+    return _canonize(quads, max_permutation_steps, mode)
 
 
 def canonical_nquads(quads: List[Quad],
@@ -229,7 +245,7 @@ def canonical_nquads(quads: List[Quad],
                      mode: str = "URDNA2015") -> str:
     """Canonical N-Quads document string (line-sorted, like the
     normalize-*-out.nq fixtures)."""
-    lines = [serialize_quad(q) + "\n"
-             for q in canonize_quads(quads, max_permutation_steps, mode)]
+    lines = [line + "\n"
+             for line, _ in _canonize(quads, max_permutation_steps, mode)]
     # dataset set-semantics: identical statements collapse
     return "".join(sorted(set(lines)))

