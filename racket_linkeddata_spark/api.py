@@ -1,0 +1,55 @@
+"""Public API facade — one import for everything the reference exposes.
+
+Document-level (pure Python, the reference's library surface):
+    expand, compact, flatten, to_rdf, normalize (json-ld->urdna2015),
+    parse_nquads / serialize_nquads, sign_jsonld / verify_jsonld
+
+Cluster-level (Spark-first):
+    session, build_kg, extract_triples, read_nquads, write_nquads,
+    synthesize_pages, run_ingest
+"""
+
+from .core.compact import compact
+from .core.expand import expand
+from .core.flatten import flatten
+from .core.ld_sigs import sign_jsonld, verify_jsonld
+from .core.nquads import parse as parse_nquads
+from .core.nquads import serialize as serialize_nquads
+from .core.pipeline import page_to_triples
+from .core.to_rdf import to_rdf
+from .core.urdna2015 import canonical_nquads, canonize_quads
+
+
+def normalize(document, *, base=None, remote_contexts=None,
+              mode: str = "URDNA2015") -> str:
+    """json-ld->urdna2015-nquads-string (json-ld.rkt:2710)."""
+    return canonical_nquads(
+        to_rdf(document, base=base, remote_contexts=remote_contexts),
+        mode=mode)
+
+
+def _lazy_spark():
+    from .operators.extract import extract_triples
+    from .plans.kg import build_kg, session
+    from .sources.nquads_io import read_nquads, write_nquads
+    from .sources.pages import synthesize_pages
+    from .streaming.ingest import run_ingest
+
+    return locals()
+
+
+def __getattr__(name):
+    spark_api = ("extract_triples", "build_kg", "session", "read_nquads",
+                 "write_nquads", "synthesize_pages", "run_ingest")
+    if name in spark_api:
+        return _lazy_spark()[name]
+    raise AttributeError(name)
+
+
+__all__ = [
+    "expand", "compact", "flatten", "to_rdf", "normalize",
+    "canonize_quads", "canonical_nquads", "parse_nquads",
+    "serialize_nquads", "sign_jsonld", "verify_jsonld", "page_to_triples",
+    "extract_triples", "build_kg", "session", "read_nquads",
+    "write_nquads", "synthesize_pages", "run_ingest",
+]

@@ -1,0 +1,187 @@
+"""Linked Data Signatures over canonical N-Quads.
+
+Mirrors the reference's working surface (ld-sigs.rkt): the
+CwebberSignature2018-style suite signs the URDNA2015-canonical N-Quads of
+the expanded document with the proof node attached minus its
+signatureValue (make-proof-object, ld-sigs.rkt:196-237; verify-proof,
+ld-sigs.rkt:245-263; entries lds-sign-jsonld ld-sigs.rkt:581-598 and
+lds-verify-jsonld ld-sigs.rkt:727-824). RSA PKCS#1 v1.5 + SHA-256
+(digest/sign semantics); PEM codec via `cryptography` (pem.rkt's role).
+
+The ocap-ld proof purposes are deliberately out of scope — they are
+half-'TODO in the reference itself (ld-sigs.rkt:391-406, 563-566).
+
+Instead of vendoring the w3id security context file the reference pins
+(ld-sigs.rkt:147-149), we register a minimal term map with the same
+meaning for the terms this suite touches, under the same pinned URL.
+"""
+
+from __future__ import annotations
+
+import base64
+from datetime import datetime, timezone
+from typing import Any, Dict, Optional
+
+from .compact import compact
+from .expand import expand
+from .to_rdf import to_rdf
+from .urdna2015 import canonical_nquads
+
+SEC = "https://w3id.org/security#"
+SECURITY_CONTEXT_URL = "https://w3id.org/security/v1"
+DC = "http://purl.org/dc/terms/"
+
+SEC_PROOF = SEC + "proof"
+SEC_SIGNATURE_VALUE = SEC + "signatureValue"
+SEC_NONCE = SEC + "nonce"
+SEC_DOMAIN = SEC + "domain"
+SEC_PUBLIC_KEY_PEM = SEC + "publicKeyPem"
+DC_CREATOR = DC + "creator"
+DC_CREATED = DC + "created"
+
+SUITE_URI = "https://dustycloud.org/#CwebberSignature2018"
+
+# minimal stand-in for the pinned w3id security/v1 context: only the terms
+# this suite reads/writes, mapped to the same IRIs
+MINIMAL_SECURITY_CONTEXT: Dict[str, Any] = {
+    "@context": {
+        "sec": SEC,
+        "dc": DC,
+        "proof": {"@id": SEC_PROOF},
+        "signatureValue": {"@id": SEC_SIGNATURE_VALUE},
+        "nonce": {"@id": SEC_NONCE},
+        "domain": {"@id": SEC_DOMAIN},
+        "publicKeyPem": {"@id": SEC_PUBLIC_KEY_PEM},
+        "creator": {"@id": DC_CREATOR, "@type": "@id"},
+        "created": {"@id": DC_CREATED,
+                    "@type": "http://www.w3.org/2001/XMLSchema#dateTime"},
+    }
+}
+
+
+def default_contexts(extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    ctxs = {SECURITY_CONTEXT_URL: MINIMAL_SECURITY_CONTEXT}
+    if extra:
+        ctxs.update(extra)
+    return ctxs
+
+
+def rfc3339_now() -> str:
+    """UTC second-resolution stamp (date-utils.rkt:5-18)."""
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _canonicalize(expanded_doc: Any, remote_contexts) -> str:
+    quads = to_rdf(expanded_doc, remote_contexts=remote_contexts)
+    return canonical_nquads(quads)
+
+
+def _rsa_sign(private_key_pem: str, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key = serialization.load_pem_private_key(
+        private_key_pem.encode(), password=None)
+    return key.sign(data, padding.PKCS1v15(), hashes.SHA256())
+
+
+def _rsa_verify(public_key_pem: str, signature: bytes, data: bytes) -> bool:
+    from cryptography.exceptions import InvalidSignature
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    key = serialization.load_pem_public_key(public_key_pem.encode())
+    try:
+        key.verify(signature, data, padding.PKCS1v15(), hashes.SHA256())
+        return True
+    except InvalidSignature:
+        return False
+
+
+def sign_jsonld(
+    document: Dict[str, Any],
+    private_key_pem: str,
+    *,
+    creator: Optional[str] = None,
+    created: Optional[str] = None,
+    nonce: Optional[str] = None,
+    domain: Optional[str] = None,
+    remote_contexts: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Sign: expand -> build proof (sans signatureValue) -> attach ->
+    canonicalize -> RSA-SHA256 -> attach signatureValue -> compact with
+    the original context (lds-sign-jsonld, ld-sigs.rkt:581-598)."""
+    ctxs = default_contexts(remote_contexts)
+    expanded = expand(document, remote_contexts=ctxs)
+    if len(expanded) != 1:
+        raise ValueError("sign_jsonld expects a single top-level node")
+    node = dict(expanded[0])
+
+    proof: Dict[str, Any] = {
+        "@type": SUITE_URI,
+        DC_CREATED: [{"@value": created or rfc3339_now()}],
+    }
+    if creator is not None:
+        proof[DC_CREATOR] = [{"@id": creator}]
+    if nonce is not None:
+        proof[SEC_NONCE] = [{"@value": nonce}]
+    if domain is not None:
+        proof[SEC_DOMAIN] = [{"@value": domain}]
+
+    node[SEC_PROOF] = [dict(proof)]
+    tbs = _canonicalize([node], ctxs)
+    sig = base64.b64encode(
+        _rsa_sign(private_key_pem, tbs.encode("utf-8"))).decode("ascii")
+    proof[SEC_SIGNATURE_VALUE] = [{"@value": sig}]
+    node[SEC_PROOF] = [proof]
+
+    context = document.get("@context", {})
+    return compact([node], context, remote_contexts=ctxs,
+                   already_expanded=True)
+
+
+def verify_jsonld(
+    signed_document: Dict[str, Any],
+    public_key_pem: str,
+    *,
+    remote_contexts: Optional[Dict[str, Any]] = None,
+) -> bool:
+    """Verify: expand -> detach signatureValue from the proof ->
+    canonicalize -> RSA verify (verify-proof, ld-sigs.rkt:245-263)."""
+    ctxs = default_contexts(remote_contexts)
+    expanded = expand(signed_document, remote_contexts=ctxs)
+    if len(expanded) != 1:
+        return False
+    node = dict(expanded[0])
+    proofs = node.get(SEC_PROOF)
+    if not proofs:
+        return False
+    ok = True
+    for proof_entry in proofs:
+        proof = proof_entry.get("@graph", [proof_entry])
+        proof = dict(proof[0]) if isinstance(proof, list) else dict(proof)
+        sig_entries = proof.pop(SEC_SIGNATURE_VALUE, None)
+        if not sig_entries:
+            return False
+        sig = base64.b64decode(sig_entries[0]["@value"])
+        check_node = dict(node)
+        check_node[SEC_PROOF] = [proof]
+        tbs = _canonicalize([check_node], ctxs)
+        ok = ok and _rsa_verify(public_key_pem, sig, tbs.encode("utf-8"))
+    return ok
+
+
+def generate_rsa_keypair(bits: int = 2048):
+    """(private_pem, public_pem) helper for tests."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=bits)
+    priv = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo).decode()
+    return priv, pub

@@ -1,0 +1,77 @@
+"""Structured Streaming ingest: continuously turn arriving page files
+into canonical triples.
+
+The reference has no streaming (SURVEY.md §2.11) and the north rule's
+resumability is satisfied by batch snapshot resume (operators/lineage.py);
+this module is the *streaming-native* alternative: a file-source
+readStream over the pages table directory, the same Arrow-batched
+extraction stage (mapInPandas works unchanged on streaming DataFrames),
+and an append sink with Spark's own checkpointing — exactly-once per
+input file, restart-safe out of the box.
+
+Use Trigger.AvailableNow (drain-and-stop) for backfills and tests;
+processingTime triggers for continuous ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extract import TRIPLES_SCHEMA
+from ..core.pipeline import TRIPLE_COLUMNS, page_to_triples
+
+
+def stream_pages(spark: SparkSession, pages_path: str,
+                 max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    reader = (spark.readStream.format("parquet")
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(pages_path)
+
+
+def stream_triples(pages_stream: DataFrame, contexts_broadcast=None,
+                   mode: str = "URDNA2015") -> DataFrame:
+    """Streaming variant of operators.extract.extract_triples (no
+    repartition: streaming micro-batches already track file arrival)."""
+    import pandas as pd
+
+    def fn(batches):
+        ctxs = contexts_broadcast.value if contexts_broadcast is not None \
+            else None
+        marker = (None,) * 8
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                res = page_to_triples(url, html, ctxs, mode)
+                if res.rows:
+                    rows.extend(res.rows)
+                else:
+                    rows.append((url,) + marker + (res.status,))
+            if rows:
+                yield pd.DataFrame(dict(zip(TRIPLE_COLUMNS, zip(*rows))))
+            else:
+                yield pd.DataFrame({c: [] for c in TRIPLE_COLUMNS})
+
+    return (pages_stream.select("url", "html")
+            .mapInPandas(fn, schema=TRIPLES_SCHEMA))
+
+
+def run_ingest(spark: SparkSession, pages_path: str, out_path: str,
+               checkpoint_path: str, available_now: bool = True,
+               contexts_broadcast=None):
+    """Start (or resume, via the checkpoint) the streaming ingest.
+    Returns the StreamingQuery; with available_now=True it drains the
+    backlog and stops — call .awaitTermination()."""
+    triples = stream_triples(stream_pages(spark, pages_path),
+                             contexts_broadcast)
+    writer = (triples.writeStream.format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
