@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+must survive refactors — broadcast (not shuffle) joins for dim tables,
+predicate pushdown + column pruning into the parquet scan, and map-side
+partial aggregation for the dedup."""
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_entity_link_is_broadcast_join(spark):
+    p = _plan(em.q_kg_entity_link(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dim_joins_are_broadcast(spark):
+    p = _plan(em.q_tpch_join(spark, SF))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .filter(F.col("doc_id") < 60).select("doc_id", "text"))
+    p = _plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "LessThan(doc_id,60)" in m.group(1)
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "text" in m.group(1) and "source" not in m.group(1)
+
+
+def test_dedup_is_two_phase_hash_aggregate(spark):
+    from racket_linkeddata_spark.operators.dedup import (
+        dedup_triples, skolemize_bnodes)
+    from racket_linkeddata_spark.operators.extract import (
+        extract_triples, triples_only)
+
+    edges = dedup_triples(skolemize_bnodes(
+        triples_only(extract_triples(em.doc_pages(spark, SF)))))
+    p = _plan(edges)
+    # partial + final — the north rule's local-combine + global aggregate
+    assert p.count("HashAggregate") == 2
+    assert "MapInPandas" in p
+
+
+def test_extraction_ships_only_url_and_html(spark):
+    from racket_linkeddata_spark.operators.extract import extract_triples
+
+    p = _plan(extract_triples(em.doc_pages(spark, SF)))
+    # the Arrow boundary sees exactly the two needed columns
+    m = re.search(r"MapInPandas.*?\[([^\]]*)\]", p)
+    assert m is not None
+    assert "url" in p and "html" in p
+    assert "warc_ts" not in p and "lang" not in p.split("MapInPandas")[0]
