@@ -149,6 +149,57 @@ class ActiveContext:
 
 LocalContext = Union[None, str, Dict[str, Any], List[Any]]
 
+# --- processed-context memo (per-worker) -----------------------------------
+# Web-scale reality: millions of pages share a handful of contexts
+# (schema.org etc.), and context processing dominates the expansion
+# profile. Results are cached keyed by the serialized local context and
+# only when the incoming active context is pristine (fresh document) and
+# the context never touches @base (document-relative state). Cached
+# ActiveContexts are treated as immutable; per-document base is fixed up
+# on a shared-terms clone.
+
+_CTX_MEMO: Dict[Any, "ActiveContext"] = {}
+_CTX_MEMO_MAX = 512
+
+
+def _mentions_base(local: Any) -> bool:
+    if isinstance(local, dict):
+        return "@base" in local
+    if isinstance(local, list):
+        return any(_mentions_base(c) for c in local)
+    return isinstance(local, str)  # remote refs: bypass (loader-dependent)
+
+
+def process_context_cached(
+    active: "ActiveContext",
+    local: LocalContext,
+    remote_contexts: Optional[Dict[str, Any]] = None,
+) -> "ActiveContext":
+    """process_context with memoization for the pristine-context fast path."""
+    if active.terms or active.vocab is not None \
+            or active.language is not None or _mentions_base(local):
+        return process_context(active, local, remote_contexts)
+    import json as _json
+
+    try:
+        key = (_json.dumps(local, sort_keys=True), id(remote_contexts))
+    except (TypeError, ValueError):
+        return process_context(active, local, remote_contexts)
+    cached = _CTX_MEMO.get(key)
+    if cached is None:
+        cached = process_context(ActiveContext(None), local, remote_contexts)
+        if len(_CTX_MEMO) >= _CTX_MEMO_MAX:
+            _CTX_MEMO.clear()
+        _CTX_MEMO[key] = cached
+    out = ActiveContext(active.base)
+    out.doc_base = active.doc_base
+    out.vocab = cached.vocab
+    out.language = cached.language
+    out.terms = cached.terms  # shared: never mutated after processing
+    if cached.base is not None:  # context set an absolute @base (bypassed
+        out.base = cached.base   # today, kept for safety)
+    return out
+
 
 def process_context(
     active: ActiveContext,

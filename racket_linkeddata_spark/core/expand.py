@@ -16,7 +16,7 @@ from .context import (
     expand_iri,
     is_absolute_iri,
     is_keyword,
-    process_context,
+    process_context_cached,
 )
 
 
@@ -95,7 +95,8 @@ def expand_element(
 
     # element is a JSON object
     if "@context" in element:
-        active = process_context(active, element["@context"], remote_contexts)
+        active = process_context_cached(active, element["@context"],
+                                        remote_contexts)
 
     result_obj: Dict[str, Any] = {}
     for key in sorted(element.keys()):
@@ -287,7 +288,7 @@ def expand(
         ctx = expand_context
         if isinstance(ctx, dict) and "@context" in ctx:
             ctx = ctx["@context"]
-        active = process_context(active, ctx, remote_contexts)
+        active = process_context_cached(active, ctx, remote_contexts)
     expanded = expand_element(active, None, document, remote_contexts)
     if isinstance(expanded, dict) and list(expanded) == ["@graph"]:
         expanded = expanded["@graph"]

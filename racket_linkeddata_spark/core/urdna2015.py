@@ -18,6 +18,7 @@ import hashlib
 from itertools import permutations
 from typing import Dict, List, Optional, Tuple
 
+from .nquads import _serialize_term as _ser
 from .nquads import serialize_quad
 from .node_map import BlankNodeIssuer
 from .terms import Literal, Quad
@@ -47,37 +48,65 @@ class _State:
 
     def __init__(self, quads: List[Quad], max_permutation_steps: int,
                  mode: str = "URDNA2015"):
-        self.blank_to_quads: Dict[str, List[Quad]] = {}
+        self.quads = quads
+        self.blank_to_quads: Dict[str, List[int]] = {}
         self.canonical = BlankNodeIssuer("_:c14n")
         self.budget = max_permutation_steps
         self.mode = mode
         self._hashname = "sha1" if mode == "URGNA2012" else "sha256"
-        for q in quads:
+        self._fd_cache: Dict[str, str] = {}
+        # serialize bnode-mentioning quads once with bnode slots symbolic:
+        # hash_first_degree then only fills _:a/_:z (hot path — every
+        # first-degree hash re-serializes each mention quad otherwise).
+        # Lazy: quads without bnodes never get templates.
+        self._tmpl: Dict[int, tuple] = {}
+        for i, q in enumerate(quads):
             for component in (q.subj, q.obj, q.graph):
                 if _is_bnode(component):
-                    self.blank_to_quads.setdefault(component, []).append(q)
+                    self.blank_to_quads.setdefault(component, []).append(i)
+
+    def _template(self, i: int) -> tuple:
+        t = self._tmpl.get(i)
+        if t is None:
+            q = self.quads[i]
+            subj = None if _is_bnode(q.subj) else _ser(q.subj, "subject")
+            obj = (None if (not isinstance(q.obj, Literal)
+                            and _is_bnode(q.obj))
+                   else _ser(q.obj, "object"))
+            if q.graph is None:
+                graph = ""
+            elif _is_bnode(q.graph):
+                graph = None
+            else:
+                graph = " " + _ser(q.graph, "graph")
+            t = (subj, _ser(q.pred, "predicate"), obj, graph,
+                 q.subj, q.obj, q.graph)
+            self._tmpl[i] = t
+        return t
 
     def _hash(self, s: str) -> str:
         return hashlib.new(self._hashname, s.encode("utf-8")).hexdigest()
 
     def hash_first_degree(self, bnode: str) -> str:
         """Hash First Degree Quads (spec 4.6; urdna2015.rkt:185-206)."""
+        cached = self._fd_cache.get(bnode)
+        if cached is not None:
+            return cached
+        urgna = self.mode == "URGNA2012"
         lines = []
-        for q in self.blank_to_quads[bnode]:
-            if q.graph is None:
-                sub_graph = None
-            elif self.mode == "URGNA2012" and _is_bnode(q.graph):
-                sub_graph = "_:g"
-            else:
-                sub_graph = _sub(q.graph, bnode)
-            sub_q = Quad(
-                _sub(q.subj, bnode),
-                q.pred,
-                q.obj if isinstance(q.obj, Literal) else _sub(q.obj, bnode),
-                sub_graph,
-            )
-            lines.append(serialize_quad(sub_q) + "\n")
-        return self._hash("".join(sorted(lines)))
+        for i in self.blank_to_quads[bnode]:
+            s, p, o, g, subj, obj, graph = self._template(i)
+            if s is None:
+                s = "_:a" if subj == bnode else "_:z"
+            if o is None:
+                o = "_:a" if obj == bnode else "_:z"
+            if g is None:
+                g = " _:g" if urgna else (
+                    " _:a" if graph == bnode else " _:z")
+            lines.append(f"{s} {p} {o}{g} .\n")
+        out = self._hash("".join(sorted(lines)))
+        self._fd_cache[bnode] = out
+        return out
 
     def hash_related(self, related: str, quad: Quad,
                      issuer: BlankNodeIssuer, position: str) -> str:
@@ -121,7 +150,8 @@ class _State:
         urdna2015.rkt:234-331 — we iterate *permutations* per spec step 5.4
         and append issued identifiers, not structs)."""
         hash_to_related: Dict[str, List[str]] = {}
-        for quad in self.blank_to_quads[identifier]:
+        for qi in self.blank_to_quads[identifier]:
+            quad = self.quads[qi]
             for component, position in self.related_components(identifier,
                                                                quad):
                 h = self.hash_related(component, quad, issuer, position)
