@@ -32,7 +32,6 @@ def extract_triples(
     contexts_broadcast=None,
     mode: str = "URDNA2015",
     max_permutation_steps: int = 200_000,
-    min_parallelism: int | None = None,
 ) -> DataFrame:
     """pages(url, html, ...) -> triples DataFrame (TRIPLES_SCHEMA).
 
@@ -50,11 +49,9 @@ def extract_triples(
     """
     import pandas as pd
 
-    pruned = pages.select("url", "html")
-    spark = pages.sparkSession
-    target = min_parallelism or spark.sparkContext.defaultParallelism * 2
-    if pruned.rdd.getNumPartitions() < target:
-        pruned = pruned.repartition(target)
+    from .util import ensure_parallelism
+
+    pruned = ensure_parallelism(pages.select("url", "html"))
 
     def fn(batches):
         ctxs = contexts_broadcast.value if contexts_broadcast is not None \

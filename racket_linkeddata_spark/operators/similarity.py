@@ -41,10 +41,12 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql.window import Window
 
+    from .util import ensure_parallelism
+
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv")))
-    c = embeddings.select(
+    c = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"))
     scored = (q.join(c, F.col("query_id") != F.col("item_id"))
@@ -98,7 +100,9 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
 
-    c = embeddings.select(
+    from .util import ensure_parallelism
+
+    c = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"))
     c = c.withColumn("bucket", srp_bucket(F.col("cv"), planes))

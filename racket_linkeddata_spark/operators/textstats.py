@@ -84,9 +84,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """Exact n-gram Jaccard near-dup pairs (the verification step of any
     LSH pipeline). All-pairs — quadratic, use only on candidate subsets;
     the scale path is minhash_lsh_candidates() feeding this."""
+    from .util import ensure_parallelism
+
     d = docs
     if max_docs is not None:
         d = d.filter(F.col("doc_id") < max_docs)
+    d = ensure_parallelism(d)
     # persist: otherwise the shingle expression tree is re-evaluated on
     # both sides of the self-join
     s = d.select("doc_id", shingles(d, n).alias("sh")).persist()
@@ -122,6 +125,9 @@ def _minhash_cols(shingle_col, k: int):
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
+    from .util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # interpreted HOF exprs are CPU-bound
     sh = shingles(docs, n)
     return docs.select("doc_id", *_minhash_cols(sh, k))
 
@@ -187,12 +193,18 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
         return int.from_bytes(
             hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
 
-    return docs.select("doc_id", sim("text").alias("simhash"))
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
+        "doc_id", sim("text").alias("simhash"))
 
 
 def fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
     """Document fingerprint: min/max xxhash64 over character n-gram
     rolling windows (winnowing-lite), JVM-side."""
+    from .util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     idx = F.sequence(F.lit(1),
                      F.greatest(F.length("text") - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.substring(F.col("text"), i, n))
