@@ -181,7 +181,8 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
                 continue
             hs = np.array([hash_word(w) for w in words], dtype=np.uint64)
             bits_m = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            votes = bits_m.sum(axis=0) * 2 - len(words)
+            # signed: uint64 arithmetic would wrap negative vote sums
+            votes = bits_m.sum(axis=0).astype(np.int64) * 2 - len(words)
             sig = np.uint64(0)
             for i in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(i)
