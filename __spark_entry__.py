@@ -251,6 +251,28 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", "checksum")
 
 
+def q_jsonld_expand_docs(spark, sf_dir):
+    """Document-level expansion lifted to a DataFrame op (rows-only:
+    expansion output is JSON, not SQL-reconstructable in general)."""
+    from racket_linkeddata_spark.operators.jsonld_ops import expand_documents
+
+    d = _docs(spark, sf_dir)
+    jsonld = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG + '"}, "@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'), F.col("lang"), F.lit('"}'))
+    docs = d.select("doc_id", jsonld.alias("doc"))
+    return expand_documents(docs)
+
+
+def q_skew_salted_domain_rollup(spark, sf_dir):
+    """Salted two-phase aggregate over a deliberately skewed key."""
+    from racket_linkeddata_spark.operators.skew import salted_agg
+
+    t = _triples(spark, sf_dir)
+    return salted_agg(t.select("pred"), ["pred"], salt_buckets=16)
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.groupBy("l_returnflag", "l_linestatus")
@@ -309,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "jsonld_expand_docs": q_jsonld_expand_docs,
+        "skew_salted_domain_rollup": q_skew_salted_domain_rollup,
         "tpch_q1": q_tpch_q1,
         "tpch_join": q_tpch_join,
         "events_window": q_events_window,
@@ -330,6 +354,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{KG}Document', 0, (SELECT count(*) FROM documents)""",
         "kg_page_log": _ORACLE_CANON,
+        "skew_salted_domain_rollup": f"""
+            SELECT pred, count(*) AS n FROM ({_ORACLE_TRIPLES})
+            GROUP BY pred""",
         "kg_entity_link": f"""
             SELECT 'http://schema.org/CreativeWork' AS obj_value,
                    count(*) AS n FROM documents""",

@@ -30,6 +30,13 @@ def normalize(document, *, base=None, remote_contexts=None,
 
 def _lazy_spark():
     from .operators.extract import extract_triples
+    from .operators.jsonld_ops import (
+        compact_documents,
+        expand_documents,
+        flatten_documents,
+        normalize_documents,
+    )
+    from .operators.skew import salted_agg
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
@@ -40,7 +47,9 @@ def _lazy_spark():
 
 def __getattr__(name):
     spark_api = ("extract_triples", "build_kg", "session", "read_nquads",
-                 "write_nquads", "synthesize_pages", "run_ingest")
+                 "write_nquads", "synthesize_pages", "run_ingest",
+                 "expand_documents", "compact_documents",
+                 "flatten_documents", "normalize_documents", "salted_agg")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
