@@ -12,6 +12,7 @@ Cluster-level (Spark-first):
 from .core.compact import compact
 from .core.expand import expand
 from .core.flatten import flatten
+from .core.from_rdf import from_rdf
 from .core.ld_sigs import sign_jsonld, verify_jsonld
 from .core.nquads import parse as parse_nquads
 from .core.nquads import serialize as serialize_nquads
@@ -56,7 +57,7 @@ def __getattr__(name):
 
 
 __all__ = [
-    "expand", "compact", "flatten", "to_rdf", "normalize",
+    "expand", "compact", "flatten", "to_rdf", "from_rdf", "normalize",
     "canonize_quads", "canonical_nquads", "parse_nquads",
     "serialize_nquads", "sign_jsonld", "verify_jsonld", "page_to_triples",
     "extract_triples", "build_kg", "session", "read_nquads",
