@@ -12,6 +12,7 @@ Cluster-level (Spark-first):
 from .core.compact import compact
 from .core.expand import expand
 from .core.flatten import flatten
+from .core.frame import frame
 from .core.from_rdf import from_rdf
 from .core.ld_sigs import sign_jsonld, verify_jsonld
 from .core.nquads import parse as parse_nquads
@@ -57,7 +58,8 @@ def __getattr__(name):
 
 
 __all__ = [
-    "expand", "compact", "flatten", "to_rdf", "from_rdf", "normalize",
+    "expand", "compact", "flatten", "frame", "to_rdf", "from_rdf",
+    "normalize",
     "canonize_quads", "canonical_nquads", "parse_nquads",
     "serialize_nquads", "sign_jsonld", "verify_jsonld", "page_to_triples",
     "extract_triples", "build_kg", "session", "read_nquads",

@@ -367,6 +367,14 @@ def compact_element(
                     result_obj[alias] = compacted_value
             continue
 
+        if key == "@preserve":
+            # framing default marker: compact the preserved value against
+            # the same active property, keep the wrapper for the framing
+            # post-pass to resolve
+            result_obj["@preserve"] = compact_element(
+                active, inverse, active_property, value, compact_arrays)
+            continue
+
         if key == "@index" and container == "@index":
             continue
 
@@ -457,9 +465,11 @@ def compact(
     compact_arrays: bool = True,
     remote_contexts: Optional[Dict[str, Any]] = None,
     already_expanded: bool = False,
+    force_graph: bool = False,
 ) -> Dict[str, Any]:
     """Entry point (json-ld.rkt:1836-1880): expand-then-compact, epilogue
-    follows jsonld.py (singleton unwrap, @graph wrap, re-attach @context)."""
+    follows jsonld.py (singleton unwrap, @graph wrap, re-attach @context).
+    ``force_graph`` always wraps the result in an arrayed @graph (framing)."""
     if already_expanded:
         expanded = document
     else:
@@ -471,13 +481,19 @@ def compact(
     inverse = create_inverse_context(active)
     compacted = compact_element(active, inverse, None, expanded,
                                 compact_arrays)
-    if compacted is None:
+    graph_alias = compact_iri(active, inverse, "@graph", vocab=True)
+    if force_graph:
+        if compacted is None:
+            compacted = []
+        if not isinstance(compacted, list):
+            compacted = [compacted]
+        compacted = {graph_alias: compacted}
+    elif compacted is None:
         compacted = {}
     elif isinstance(compacted, list):
         if not compacted:
             compacted = {}
         else:
-            graph_alias = compact_iri(active, inverse, "@graph", vocab=True)
             compacted = {graph_alias: compacted}
     if ctx and compacted != {}:
         if isinstance(ctx, (dict, list)) and not ctx:

@@ -61,13 +61,22 @@ def value_expansion(active: ActiveContext, active_prop: str, value: Any) -> Any:
     return result
 
 
+_FRAME_KEYWORDS = ("@default", "@embed", "@explicit", "@omitDefault")
+
+
 def expand_element(
     active: ActiveContext,
     active_prop: Optional[str],
     element: Any,
     remote_contexts: Optional[Dict[str, Any]] = None,
+    frame_expansion: bool = False,
 ) -> Any:
-    """Expansion Algorithm (JSON-LD 1.0 API §7.1; json-ld.rkt:956-1442)."""
+    """Expansion Algorithm (JSON-LD 1.0 API §7.1; json-ld.rkt:956-1442).
+
+    ``frame_expansion`` keeps the framing keywords (@default/@embed/
+    @explicit/@omitDefault) and free-floating nodes, per the framing
+    algorithm's expansion mode.
+    """
     if element is None:
         return None
 
@@ -83,7 +92,8 @@ def expand_element(
         result: List[Any] = []
         for item in element:
             expanded = expand_element(active, active_prop, item,
-                                      remote_contexts)
+                                      remote_contexts,
+                                      frame_expansion)
             if active_prop == "@list" or prop_container == "@list":
                 if isinstance(expanded, list) or _is_list_object(expanded):
                     raise JsonLdError("list of lists", str(active_prop))
@@ -104,6 +114,14 @@ def expand_element(
         if key == "@context":
             continue
         expanded_property = expand_iri(active, key, vocab=True)
+        if frame_expansion and expanded_property in _FRAME_KEYWORDS:
+            if expanded_property == "@default":
+                dv = expand_element(active, active_prop, value,
+                                    remote_contexts, frame_expansion)
+                result_obj["@default"] = _as_array(dv)
+            else:
+                result_obj[expanded_property] = value
+            continue
         if expanded_property is None or not (
                 ":" in expanded_property or is_keyword(expanded_property)):
             continue
@@ -120,7 +138,10 @@ def expand_element(
                 expanded_value: Any = expand_iri(active, value,
                                                  document_relative=True)
             elif expanded_property == "@type":
-                if isinstance(value, str):
+                if frame_expansion and isinstance(value, dict) \
+                        and not value:
+                    expanded_value = [{}]  # wildcard type filter (framing)
+                elif isinstance(value, str):
                     expanded_value = expand_iri(active, value, vocab=True,
                                                 document_relative=True)
                 elif isinstance(value, list) and all(
@@ -132,7 +153,8 @@ def expand_element(
                     raise JsonLdError("invalid type value", repr(value))
             elif expanded_property == "@graph":
                 expanded_value = _as_array(
-                    expand_element(active, "@graph", value, remote_contexts))
+                    expand_element(active, "@graph", value, remote_contexts,
+                    frame_expansion))
             elif expanded_property == "@value":
                 if value is not None and isinstance(value, (dict, list)):
                     raise JsonLdError("invalid value object value",
@@ -155,18 +177,21 @@ def expand_element(
                     continue  # drop free-floating list
                 expanded_value = _as_array(
                     expand_element(active, active_prop, value,
-                                   remote_contexts))
+                                   remote_contexts,
+                                   frame_expansion))
                 for item in expanded_value:
                     if _is_list_object(item):
                         raise JsonLdError("list of lists", key)
             elif expanded_property == "@set":
                 expanded_value = expand_element(active, active_prop, value,
-                                                remote_contexts)
+                                                remote_contexts,
+                                                frame_expansion)
             elif expanded_property == "@reverse":
                 if not isinstance(value, dict):
                     raise JsonLdError("invalid @reverse value", repr(value))
                 expanded_value = expand_element(active, "@reverse", value,
-                                                remote_contexts)
+                                                remote_contexts,
+                                                frame_expansion)
                 if isinstance(expanded_value, dict):
                     if "@reverse" in expanded_value:
                         for prop, items in expanded_value["@reverse"].items():
@@ -187,7 +212,8 @@ def expand_element(
                 continue
             else:
                 expanded_value = expand_element(active, active_prop, value,
-                                                remote_contexts)
+                                                remote_contexts,
+                                                frame_expansion)
 
             if expanded_value is not None or expanded_property == "@value":
                 result_obj[expanded_property] = expanded_value
@@ -214,7 +240,8 @@ def expand_element(
             for index in sorted(value.keys()):
                 index_value = _as_array(value[index])
                 index_value = expand_element(active, key, index_value,
-                                             remote_contexts)
+                                             remote_contexts,
+                                             frame_expansion)
                 for item in index_value:
                     if "@index" not in item:
                         item = dict(item)
@@ -222,7 +249,8 @@ def expand_element(
                     expanded_value.append(item)
         else:
             expanded_value = expand_element(active, key, value,
-                                            remote_contexts)
+                                            remote_contexts,
+                                            frame_expansion)
 
         if expanded_value is None:
             continue
@@ -264,7 +292,8 @@ def expand_element(
     if isinstance(result_obj, dict) and list(result_obj) == ["@language"]:
         return None
 
-    if active_prop is None or active_prop == "@graph":
+    if (active_prop is None or active_prop == "@graph") \
+            and not frame_expansion:
         if isinstance(result_obj, dict) and (
                 not result_obj
                 or "@value" in result_obj or "@list" in result_obj):
@@ -280,6 +309,7 @@ def expand(
     base: Optional[str] = None,
     expand_context: Any = None,
     remote_contexts: Optional[Dict[str, Any]] = None,
+    frame_expansion: bool = False,
 ) -> List[Any]:
     """Entry point (json-ld.rkt:1444-1481): seed context, expand, unwrap
     a lone top-level @graph, arrayify."""
@@ -289,7 +319,8 @@ def expand(
         if isinstance(ctx, dict) and "@context" in ctx:
             ctx = ctx["@context"]
         active = process_context_cached(active, ctx, remote_contexts)
-    expanded = expand_element(active, None, document, remote_contexts)
+    expanded = expand_element(active, None, document, remote_contexts,
+                              frame_expansion)
     if isinstance(expanded, dict) and list(expanded) == ["@graph"]:
         expanded = expanded["@graph"]
     if expanded is None:
