@@ -44,6 +44,10 @@ def session(app: str = "kg", cpus: Optional[int] = None,
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # keep one small file = one split (CPU-bound pandas stages need
+         # task count ≈ cores; default 4MB open-cost packs a whole small
+         # corpus into one split). No effect on production-sized files.
+         .config("spark.sql.files.openCostInBytes", str(32 * 1024 * 1024))
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
          .config("spark.driver.memory", "8g"))
