@@ -119,7 +119,8 @@ def _remove_dot_segments(path: str) -> str:
 class ActiveContext:
     """Mutable-by-copy active context (reference struct json-ld.rkt:38-55)."""
 
-    __slots__ = ("base", "doc_base", "vocab", "language", "terms", "inverse")
+    __slots__ = ("base", "doc_base", "vocab", "language", "terms", "inverse",
+                 "_key_cache")
 
     def __init__(self, base: Optional[str] = None):
         self.base: Optional[str] = base
@@ -394,6 +395,20 @@ def expand_iri(
     """IRI Expansion (JSON-LD 1.0 API §6.3; reference json-ld.rkt:859-949)."""
     if value is None or is_keyword(value):
         return value
+    # fast path for the expansion hot loop: property keys repeat across
+    # every node of every document sharing a context; base-independent,
+    # so safe to cache per processed (frozen) context
+    if vocab and not document_relative and local_ctx is None:
+        try:
+            cache = active._key_cache
+        except AttributeError:
+            cache = active._key_cache = {}
+        hit = cache.get(value, _MISS)
+        if hit is not _MISS:
+            return hit
+        out = _expand_iri_uncached(active, value)
+        cache[value] = out
+        return out
     if local_ctx is not None and value in local_ctx \
             and defined is not None and defined.get(value) is not True:
         create_term_definition(active, local_ctx, value, defined)
@@ -415,4 +430,25 @@ def expand_iri(
         return active.vocab + value
     if document_relative:
         return resolve_iri(active.base, value)
+    return value
+
+
+_MISS = object()
+
+
+def _expand_iri_uncached(active: ActiveContext, value: str) -> Optional[str]:
+    """vocab=True, document_relative=False, no local ctx — the hot loop."""
+    if value in active.terms:
+        defn = active.terms[value]
+        return None if defn is None else defn["@id"]
+    if ":" in value:
+        prefix, _, suffix = value.partition(":")
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        prefix_def = active.terms.get(prefix)
+        if prefix_def is not None and not prefix_def.get("@reverse"):
+            return prefix_def["@id"] + suffix
+        return value
+    if active.vocab is not None:
+        return active.vocab + value
     return value
