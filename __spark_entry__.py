@@ -303,6 +303,36 @@ def q_events_window(spark, sf_dir):
             .select("user_id", F.col("event_type").alias("first_event")))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1).otherwise(0)
+    sess = (ev.withColumn("new_s", new_session)
+            .withColumn("session_id", F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value")))
+
+
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex token count: letter runs, digit runs, single
+    punctuation — the usual pre-tokenizer shape."""
+    d = _docs(spark, sf_dir)
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        .alias("n_bpe_tokens"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG build over sf0.001 documents-derived pages."""
     from racket_linkeddata_spark.plans.kg import build_kg
@@ -336,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_join": q_tpch_join,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        "text_tokens_bpe": q_text_tokens_bpe,
     }
 
 
@@ -463,4 +495,26 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts, event_id) AS rn
                   FROM events)
             WHERE rn = 1""",
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_id""",
+        "text_tokens_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+            FROM documents""",
     }

@@ -89,33 +89,52 @@ def srp_bucket(vec_col, planes: List[List[float]]):
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 8, dim: Optional[int] = None,
+             n_planes: int = 4, n_tables: int = 16,
+             dim: Optional[int] = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the query's SRP bucket
-    (equi-join on bucket — linear shuffle, no cross product). Recall is
-    tunable via n_planes / multi-probe; exactness is not the contract."""
+    """Approximate top-k via multi-table sign-random-projection LSH:
+    ``n_tables`` independent sets of ``n_planes`` hyperplanes; a corpus
+    item is a candidate when it shares the query's bucket in ANY table
+    (equi-join on (table, bucket) — linear shuffle, never a cross
+    product). Recall rises with n_tables, cost with bucket size; both are
+    knobs. Exactness is not the contract (brute_force_topk is)."""
     from pyspark.sql.window import Window
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
+    # distinct deterministic planes per table: slice one long stream
+    stream = _hyperplanes(dim, n_planes * n_tables)
+    tables = [stream[t * n_planes:(t + 1) * n_planes]
+              for t in range(n_tables)]
+
+    def buckets_col(vec):
+        return F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     srp_bucket(vec, planes).alias("bucket"))
+            for t, planes in enumerate(tables)])
 
     from .util import ensure_parallelism
 
     c = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"))
-    c = c.withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    c = (c.withColumn("b", F.explode(buckets_col(F.col("cv"))))
+         .select("item_id", "cv", F.col("b.tbl").alias("tbl"),
+                 F.col("b.bucket").alias("bucket")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"))
-    q = F.broadcast(q.withColumn("bucket", srp_bucket(F.col("qv"), planes)))
+    q = (q.withColumn("b", F.explode(buckets_col(F.col("qv"))))
+         .select("query_id", "qv", F.col("b.tbl").alias("tbl"),
+                 F.col("b.bucket").alias("bucket")))
 
-    scored = (q.join(c, "bucket")
-              .filter(F.col("query_id") != F.col("item_id"))
-              .select("query_id", "item_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
-                      .alias("cos_sim")))
+    candidates = (F.broadcast(q).join(c, ["tbl", "bucket"])
+                  .filter(F.col("query_id") != F.col("item_id"))
+                  .select("query_id", "qv", "item_id", "cv")
+                  .dropDuplicates(["query_id", "item_id"]))
+    scored = candidates.select(
+        "query_id", "item_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("item_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

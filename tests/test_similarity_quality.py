@@ -1,0 +1,32 @@
+"""ANN quality: SRP-LSH recall against exact brute-force top-k."""
+
+from pyspark.sql import functions as F
+
+from racket_linkeddata_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.item_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    # multi-table SRP at defaults (4 planes x 16 tables): measured ~0.89
+    approx = {(r.query_id, r.item_id)
+              for r in lsh_topk(e, q, k=5, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"recall {recall}"
+    assert len(approx) <= len(exact)
+
+
+def test_brute_force_topk_ranks_correctly(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    rows = brute_force_topk(e, q, k=10).collect()
+    sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+    assert len(rows) == 10
