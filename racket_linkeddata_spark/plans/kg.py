@@ -119,6 +119,17 @@ def build_kg(
     )
 
 
+def register_views(kg: KgResult, prefix: str = "kg_") -> None:
+    """Expose the KG tables as temp views so the whole engine is
+    spark.sql-queryable: kg_triples, kg_edges, kg_nodes, kg_page_log,
+    kg_lineage."""
+    kg.triples.createOrReplaceTempView(f"{prefix}triples")
+    kg.edges.createOrReplaceTempView(f"{prefix}edges")
+    kg.nodes.createOrReplaceTempView(f"{prefix}nodes")
+    kg.log.createOrReplaceTempView(f"{prefix}page_log")
+    kg.lineage.createOrReplaceTempView(f"{prefix}lineage")
+
+
 def materialize(kg: KgResult, out_dir: str, buckets: int = 64,
                 mode: str = "overwrite") -> None:
     """Write the KG tables in a scale-oriented layout:
