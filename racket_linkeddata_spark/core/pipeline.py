@@ -82,6 +82,11 @@ def page_to_triples(
         return DocResult([], 0, None, "error:canonicalization-budget")
     except RecursionError:
         return DocResult([], 0, None, "error:recursion-limit")
+    except Exception as e:  # noqa: BLE001 — one hostile page must never
+        # kill an executor task at corpus scale; the url is flagged in the
+        # page log for offline triage instead
+        return DocResult([], 0, None,
+                         f"error:internal:{type(e).__name__}")
 
     if not canon:
         return DocResult([], 0, None,
