@@ -28,11 +28,6 @@ def _is_value_object(v: Any) -> bool:
     return isinstance(v, dict) and "@value" in v
 
 
-def _is_scalar(v: Any) -> bool:
-    return isinstance(v, (str, int, float, bool)) and not isinstance(v, bool) \
-        or isinstance(v, (bool, str)) or isinstance(v, (int, float))
-
-
 def _as_array(v: Any) -> List[Any]:
     if v is None:
         return []

@@ -79,17 +79,6 @@ def _hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
     return planes
 
 
-def srp_bucket(vec_col, planes: List[List[float]]):
-    """Sign-random-projection bucket id: one bit per hyperplane."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0))
-        bucket = bucket + bit
-    return bucket
-
-
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 4, n_tables: int = 16,
              dim: Optional[int] = None,
