@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Regenerate docs/PLANS.md: captured .explain('formatted') output for the
+plan shapes that matter at scale (also pinned by tests/test_plans.py)."""
+
+import contextlib
+import io
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def cap(df, n=60):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return "\n".join(buf.getvalue().split("\n")[:n])
+
+
+def main():
+    import __spark_entry__ as em
+    from racket_linkeddata_spark.operators.dedup import (
+        dedup_triples, skolemize_bnodes)
+    from racket_linkeddata_spark.operators.extract import (
+        extract_triples, triples_only)
+    from racket_linkeddata_spark.plans.kg import session
+
+    spark = session("plans", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    sections = [
+        ("Extraction (pages -> triples): no shuffle besides the "
+         "small-input parallelism floor; only (url, html) cross the "
+         "Arrow boundary",
+         cap(extract_triples(em.doc_pages(spark, sf)), 40)),
+        ("Dedup (skolemize -> edges): two-phase hash aggregate (partial "
+         "map-side combine + final), whole-stage codegen around it",
+         cap(dedup_triples(skolemize_bnodes(triples_only(
+             extract_triples(em.doc_pages(spark, sf))))), 55)),
+        ("Entity link: broadcast hash joins, zero sort-merge joins",
+         cap(em.q_kg_entity_link(spark, sf), 70)),
+        ("Dim joins + rollup (tpch_join): broadcast x2, pushdown + "
+         "pruned ReadSchema",
+         cap(em.q_tpch_join(spark, sf), 70)),
+    ]
+    with open(os.path.join(HERE, "PLANS.md"), "w") as f:
+        f.write("# Physical plans (captured via .explain('formatted') "
+                "at sf0.01)\n\n")
+        f.write("Regenerate: `python docs/gen_plans.py`. The properties "
+                "asserted\nhere are pinned by tests/test_plans.py so "
+                "refactors cannot\nsilently regress them.\n\n")
+        for title, plan in sections:
+            f.write(f"## {title}\n\n```\n{plan}\n```\n\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
