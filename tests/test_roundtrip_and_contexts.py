@@ -41,3 +41,21 @@ def test_extract_with_broadcast_remote_context(spark):
     # without the broadcast the page is flagged, never silently dropped
     flagged = extract_triples(pages).collect()
     assert flagged[0].status == "error:loading remote context failed"
+
+
+def test_prefetch_contexts_policy():
+    import pytest
+
+    from racket_linkeddata_spark.sources.contexts import prefetch_contexts
+
+    pinned = {"https://a.example/ctx": {"@context": {"x": "http://x/"}}}
+    got = prefetch_contexts(["https://a.example/ctx"], pinned=pinned)
+    assert got == pinned
+    # unknown url + no fetch: hard error (reference's no-network mode)
+    with pytest.raises(KeyError):
+        prefetch_contexts(["https://b.example/ctx"], pinned=pinned)
+    # fetch path validates shape
+    got = prefetch_contexts(
+        ["https://b.example/ctx"], pinned=pinned,
+        fetch=lambda u: {"@context": {"y": "http://y/"}})
+    assert "https://b.example/ctx" in got
