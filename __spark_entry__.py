@@ -330,7 +330,7 @@ def q_text_tokens_bpe(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
-        .alias("n_bpe_tokens"))
+        .cast("bigint").alias("n_bpe_tokens"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -509,7 +509,8 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM flagged)
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
                    round(sum(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_id""",
         "text_tokens_bpe": """

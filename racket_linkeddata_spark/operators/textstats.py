@@ -25,10 +25,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace"),
-        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint")
+        .alias("n_nonspace"),
+        F.size(F.array_distinct(words)).cast("bigint")
+        .alias("n_distinct_tokens"),
     )
 
 
@@ -66,7 +68,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         guess = F.when((score == max_score) & (max_score > 0),
                        F.lit(lang)).otherwise(guess)
     return docs.select("doc_id", guess.alias("lang_guess"),
-                       max_score.alias("marker_hits"))
+                       max_score.cast("bigint").alias("marker_hits"))
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text"):
