@@ -54,6 +54,16 @@ def test_query_matches_oracle(spark, duck, name):
     oracle_rows = [dict(zip(oracle_cols, r)) for r in oracle.fetchall()]
 
     assert sorted(oracle_cols) == cols, f"{name}: column mismatch"
+
+    # dtype parity (the driver compares schemas, not just names)
+    type_map = {"BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+                "VARCHAR": "string", "HUGEINT": "decimal(38,0)",
+                "BOOLEAN": "boolean"}
+    spark_types = dict(spark_df.dtypes)
+    for col, typ, *_ in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall():
+        expected = type_map.get(typ, typ.lower())
+        assert spark_types.get(col) == expected, \
+            f"{name}.{col}: spark={spark_types.get(col)} duckdb={typ}"
     assert len(oracle_rows) == len(spark_rows), f"{name}: row count"
     got = _rows([r.asDict() for r in spark_rows], cols)
     want = _rows(oracle_rows, cols)
