@@ -398,13 +398,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": """
             WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       range(1, len(string_split(text, ' ')) - 1),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2])) AS s
-              FROM documents WHERE doc_id < 60)
+              SELECT * FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                              string_split(text, ' ')[i+1] || ' ' ||
+                              string_split(text, ' ')[i+2])) AS s
+                FROM documents WHERE doc_id < 60)
+              WHERE len(s) > 0)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                          len(list_distinct(list_concat(a.s, b.s))), 4)
@@ -468,12 +470,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_inner_product(q.v, c.v) /
                         (sqrt(list_inner_product(q.v, q.v)) *
                          sqrt(list_inner_product(c.v, c.v))), 4) >= 0.3""",
-        # dedup_minhash_lsh / dedup_simhash / text_fingerprint /
-        # ann_brute_topk / ann_lsh_topk / multimodal_features: no oracle —
-        # xxhash64/blake2b/SRP bucketing aren't DuckDB-expressible; the
-        # driver's rows-only check applies (their exact-verification
-        # counterparts dedup_ngram_jaccard / ann_cosine_threshold ARE
-        # oracle-checked above)
+        "dedup_simhash": """
+            -- exact replica of operators/textstats.simhash: per-word
+            -- 60-bit md5-prefix hashes, per-bit majority vote
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                        w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs,
+                     len(string_split(text, ' ')) AS nw
+              FROM documents),
+            v AS (
+              SELECT doc_id, nw,
+                     list_transform(range(0, 60),
+                        i -> list_sum(list_transform(hs,
+                               x -> (x >> i) & 1))) AS votes
+              FROM h)
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(range(0, 60),
+                     i -> CASE WHEN votes[i+1]*2 > nw
+                               THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+                     0)::BIGINT AS simhash
+            FROM v""",
+        "ann_brute_topk": """
+            -- deterministic: 4-decimal rounded cosine, item_id tie-break
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+                     round(list_inner_product(q.v, c.v) /
+                           (sqrt(list_inner_product(q.v, q.v)) *
+                            sqrt(list_inner_product(c.v, c.v))), 4)
+                       AS cos_sim
+              FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id != c.vec_id)
+            SELECT query_id, item_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, item_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5""",
+        # dedup_minhash_lsh / text_fingerprint / ann_lsh_topk /
+        # multimodal_features: no oracle — xxhash64/SRP bucketing aren't
+        # DuckDB-expressible; the driver's rows-only check applies (their
+        # exact-verification counterparts dedup_ngram_jaccard /
+        # ann_cosine_threshold / ann_brute_topk ARE oracle-checked above)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -39,19 +39,30 @@ def main():
         raise SystemExit("need --pages or --n-synth")
 
     processed_log = None
+    snapshot_id = 0
     if args.resume:
         try:
-            processed_log = spark.read.parquet(f"{args.out}/page_log")
+            # pin the prior log eagerly: this job appends to
+            # <out>/page_log later, and a lazily-read directory listing
+            # could otherwise be re-listed mid-append if a cache-evicted
+            # stage recomputes the resume anti-join
+            processed_log = spark.read.parquet(
+                f"{args.out}/page_log").localCheckpoint(eager=True)
+            prior = spark.read.parquet(f"{args.out}/lineage") \
+                .agg({"snapshot_id": "max"}).collect()[0][0]
+            snapshot_id = (prior if prior is not None else -1) + 1
         except Exception:
             processed_log = None  # first run
 
     kg = build_kg(pages, processed_log=processed_log,
-                  staging_path=args.staging)
+                  staging_path=args.staging, snapshot_id=snapshot_id)
     materialize(kg, args.out, buckets=args.buckets,
                 mode="append" if args.resume and processed_log is not None
                 else "overwrite")
-    n = spark.read.parquet(f"{args.out}/edges").count()
-    print(f"kg-construct done: {n} edges at {args.out}")
+    from racket_linkeddata_spark.plans.kg import read_edges
+    n = read_edges(spark, args.out).count()
+    print(f"kg-construct done: {n} edges at {args.out} "
+          f"(snapshot {snapshot_id})")
     spark.stop()
 
 

@@ -11,9 +11,11 @@ lds-verify-jsonld ld-sigs.rkt:727-824). RSA PKCS#1 v1.5 + SHA-256
 The ocap-ld proof purposes are deliberately out of scope — they are
 half-'TODO in the reference itself (ld-sigs.rkt:391-406, 563-566).
 
-Instead of vendoring the w3id security context file the reference pins
-(ld-sigs.rkt:147-149), we register a minimal term map with the same
-meaning for the terms this suite touches, under the same pinned URL.
+The w3id security/v1 context the reference pins (ld-sigs.rkt:147-149)
+is registered under the same pinned URL as a full term map written from
+the spec'd IRIs (the public https://w3id.org/security# vocabulary) —
+documents using any security/v1 term expand correctly, not just the
+handful this suite itself writes.
 """
 
 from __future__ import annotations
@@ -41,26 +43,64 @@ DC_CREATED = DC + "created"
 
 SUITE_URI = "https://dustycloud.org/#CwebberSignature2018"
 
-# minimal stand-in for the pinned w3id security/v1 context: only the terms
-# this suite reads/writes, mapped to the same IRIs
-MINIMAL_SECURITY_CONTEXT: Dict[str, Any] = {
+# Full w3id security/v1 term map, written from the spec'd IRIs of the
+# public security vocabulary (same pinned URL the reference uses,
+# ld-sigs.rkt:147-149). `proof` is carried as a full IRI by this suite
+# but registered as a term too so user documents can use it.
+SECURITY_V1_CONTEXT: Dict[str, Any] = {
     "@context": {
-        "sec": SEC,
+        "id": "@id",
+        "type": "@type",
         "dc": DC,
-        "proof": {"@id": SEC_PROOF},
-        "signatureValue": {"@id": SEC_SIGNATURE_VALUE},
-        "nonce": {"@id": SEC_NONCE},
-        "domain": {"@id": SEC_DOMAIN},
-        "publicKeyPem": {"@id": SEC_PUBLIC_KEY_PEM},
-        "creator": {"@id": DC_CREATOR, "@type": "@id"},
-        "created": {"@id": DC_CREATED,
-                    "@type": "http://www.w3.org/2001/XMLSchema#dateTime"},
+        "sec": SEC,
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+
+        "EcdsaKoblitzSignature2016": "sec:EcdsaKoblitzSignature2016",
+        "EncryptedMessage": "sec:EncryptedMessage",
+        "GraphSignature2012": "sec:GraphSignature2012",
+        "LinkedDataSignature2015": "sec:LinkedDataSignature2015",
+        "LinkedDataSignature2016": "sec:LinkedDataSignature2016",
+        "CryptographicKey": "sec:Key",
+
+        "authenticationTag": "sec:authenticationTag",
+        "canonicalizationAlgorithm": "sec:canonicalizationAlgorithm",
+        "cipherAlgorithm": "sec:cipherAlgorithm",
+        "cipherData": "sec:cipherData",
+        "cipherKey": "sec:cipherKey",
+        "created": {"@id": "dc:created", "@type": "xsd:dateTime"},
+        "creator": {"@id": "dc:creator", "@type": "@id"},
+        "digestAlgorithm": "sec:digestAlgorithm",
+        "digestValue": "sec:digestValue",
+        "domain": "sec:domain",
+        "encryptionKey": "sec:encryptionKey",
+        "expiration": {"@id": "sec:expiration", "@type": "xsd:dateTime"},
+        "expires": {"@id": "sec:expiration", "@type": "xsd:dateTime"},
+        "initializationVector": "sec:initializationVector",
+        "iterationCount": "sec:iterationCount",
+        "nonce": "sec:nonce",
+        "normalizationAlgorithm": "sec:normalizationAlgorithm",
+        "owner": {"@id": "sec:owner", "@type": "@id"},
+        "password": "sec:password",
+        "privateKey": {"@id": "sec:privateKey", "@type": "@id"},
+        "privateKeyPem": "sec:privateKeyPem",
+        "proof": {"@id": "sec:proof"},
+        "publicKey": {"@id": "sec:publicKey", "@type": "@id"},
+        "publicKeyPem": "sec:publicKeyPem",
+        "publicKeyService": {"@id": "sec:publicKeyService", "@type": "@id"},
+        "revoked": {"@id": "sec:revoked", "@type": "xsd:dateTime"},
+        "salt": "sec:salt",
+        "signature": "sec:signature",
+        "signatureAlgorithm": "sec:signingAlgorithm",
+        "signatureValue": "sec:signatureValue",
     }
 }
 
+# backwards-compat alias (round-1 name)
+MINIMAL_SECURITY_CONTEXT = SECURITY_V1_CONTEXT
+
 
 def default_contexts(extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-    ctxs = {SECURITY_CONTEXT_URL: MINIMAL_SECURITY_CONTEXT}
+    ctxs = {SECURITY_CONTEXT_URL: SECURITY_V1_CONTEXT}
     if extra:
         ctxs.update(extra)
     return ctxs
@@ -160,10 +200,18 @@ def verify_jsonld(
     for proof_entry in proofs:
         proof = proof_entry.get("@graph", [proof_entry])
         proof = dict(proof[0]) if isinstance(proof, list) else dict(proof)
+        # unknown suite types are an error in the reference
+        # (ld-sigs.rkt:778-780); we reject them rather than verifying a
+        # proof under the wrong algorithm
+        if proof.get("@type") not in ([SUITE_URI], SUITE_URI):
+            return False
         sig_entries = proof.pop(SEC_SIGNATURE_VALUE, None)
         if not sig_entries:
             return False
-        sig = base64.b64decode(sig_entries[0]["@value"])
+        try:
+            sig = base64.b64decode(sig_entries[0]["@value"], validate=True)
+        except (Exception,):  # malformed b64 / non-string @value
+            return False
         check_node = dict(node)
         check_node[SEC_PROOF] = [proof]
         tbs = _canonicalize([check_node], ctxs)

@@ -89,8 +89,13 @@ def _unescape_iri(s: str) -> str:
     return _UCHAR_RE.sub(lambda m: chr(int(m.group(0)[2:], 16)), s)
 
 
-def parse_line(line: str, lineno: int = 0) -> Optional[Quad]:
-    """Parse one N-Quads statement line. Returns None for blank/comment lines."""
+def parse_line(line: str, lineno: int = 0, *,
+               generalized: bool = False) -> Optional[Quad]:
+    """Parse one N-Quads statement line. Returns None for blank/comment lines.
+
+    W3C N-Quads allows only IRIREF in the predicate position; a blank-node
+    predicate is rejected unless ``generalized=True`` (generalized-RDF
+    datasets, e.g. toRdf goldens produced with produceGeneralizedRdf)."""
     stripped = line.strip()
     if not stripped or stripped.startswith('#'):
         return None
@@ -98,6 +103,10 @@ def parse_line(line: str, lineno: int = 0) -> Optional[Quad]:
     if not m:
         raise NQuadsParseError(f"line {lineno}: malformed N-Quads statement: {line!r}")
     g = m.groups()
+    if g[3] is not None and not generalized:
+        raise NQuadsParseError(
+            f"line {lineno}: blank node not allowed in predicate position "
+            "(pass generalized=True for generalized-RDF input)")
     subj = _unescape_iri(g[0]) if g[0] is not None else '_:' + g[1]
     pred = _unescape_iri(g[2]) if g[2] is not None else '_:' + g[3]
     obj: Term
@@ -121,11 +130,11 @@ def parse_line(line: str, lineno: int = 0) -> Optional[Quad]:
     return Quad(subj, pred, obj, graph)
 
 
-def parse(text: str) -> List[Quad]:
+def parse(text: str, *, generalized: bool = False) -> List[Quad]:
     """Parse an N-Quads document (entry point, cf. n-quads.rkt:258-272)."""
     out: List[Quad] = []
     for i, line in enumerate(text.split('\n'), 1):
-        q = parse_line(line, i)
+        q = parse_line(line, i, generalized=generalized)
         if q is not None:
             out.append(q)
     return out
@@ -162,7 +171,8 @@ def _bnode_label_ok(label: str) -> bool:
     return _BNODE_LABEL_RE.match(label) is not None
 
 
-def _serialize_term(term: Term, position: str) -> str:
+def _serialize_term(term: Term, position: str, *,
+                    generalized: bool = False) -> str:
     if isinstance(term, Literal):
         if position in ('subject', 'predicate', 'graph'):
             raise NQuadsSerializeError(f"literal not allowed in {position}")
@@ -177,6 +187,11 @@ def _serialize_term(term: Term, position: str) -> str:
             return out + '^^' + serialize_iri(term.datatype)
         return out
     if term.startswith('_:'):
+        if position == 'predicate' and not generalized:
+            raise NQuadsSerializeError(
+                "blank node not allowed in predicate position (W3C N-Quads "
+                "allows only IRIREF; pass generalized=True to emit "
+                "generalized-RDF quads)")
         if not _bnode_label_ok(term[2:]):
             raise NQuadsSerializeError(
                 f"invalid blank node label: {term[2:]!r}")
@@ -184,12 +199,12 @@ def _serialize_term(term: Term, position: str) -> str:
     return serialize_iri(term)
 
 
-def serialize_quad(q: Quad) -> str:
+def serialize_quad(q: Quad, *, generalized: bool = False) -> str:
     """One statement, single-space separated, ' .' terminated
     (matches the reference's exact output, n-quads.rkt:512-528)."""
     parts = [
         _serialize_term(q.subj, 'subject'),
-        _serialize_term(q.pred, 'predicate'),
+        _serialize_term(q.pred, 'predicate', generalized=generalized),
         _serialize_term(q.obj, 'object'),
     ]
     if q.graph is not None:
@@ -197,7 +212,8 @@ def serialize_quad(q: Quad) -> str:
     return ' '.join(parts) + ' .'
 
 
-def serialize(quads: List[Quad]) -> str:
+def serialize(quads: List[Quad], *, generalized: bool = False) -> str:
     """N-Quads document: one statement per line, trailing newline
     (n-quads.rkt:551-554)."""
-    return ''.join(serialize_quad(q) + '\n' for q in quads)
+    return ''.join(serialize_quad(q, generalized=generalized) + '\n'
+                   for q in quads)

@@ -60,7 +60,13 @@ def object_to_rdf(item: Dict[str, Any]) -> Optional[Term]:
     if isinstance(value, bool):
         value = "true" if value else "false"
         datatype = datatype or XSD_BOOLEAN
-    elif isinstance(value, float) or datatype == XSD_DOUBLE:
+    elif isinstance(value, float) or (isinstance(value, int)
+                                      and datatype == XSD_DOUBLE):
+        # Only NATIVE JSON numbers are canonicalized (spec §10.5 step 6;
+        # json-ld.rkt:2636 guards on number?). A STRING @value with
+        # @type xsd:double must pass through verbatim — canonicalizing
+        # it corrupts canonical hashes / LD-signatures, and a
+        # non-numeric string would raise and drop the whole document.
         value = canonical_double(float(value))
         datatype = datatype or XSD_DOUBLE
     elif isinstance(value, int):

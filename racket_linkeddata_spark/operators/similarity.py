@@ -91,20 +91,32 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     knobs. Exactness is not the contract (brute_force_topk is)."""
     from pyspark.sql.window import Window
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    # distinct deterministic planes per table: slice one long stream
-    stream = _hyperplanes(dim, n_planes * n_tables)
+    # ``dim`` is optional and purely advisory: the hyperplane matrix is
+    # derived DETERMINISTICALLY from the observed vector length inside the
+    # UDF (same _hyperplanes stream on every worker), so no driver-side
+    # action (.first()) is ever triggered building this operator — plan
+    # construction is action-free.
+    del dim
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    plane_cache: dict = {}
+
+    def _plane_matrix(d: int):
+        pm = plane_cache.get(d)
+        if pm is None:
+            # distinct deterministic planes per table: slice one stream
+            pm = np.asarray(_hyperplanes(d, n_planes * n_tables),
+                            dtype=np.float64).T  # dim x (t*p)
+            plane_cache[d] = pm
+        return pm
 
     # all (n_tables x n_planes) projections in ONE Arrow-batched numpy
     # matmul — 64 interpreted aggregate() expressions measured ~10x slower
-    plane_matrix = np.asarray(stream, dtype=np.float64).T  # dim x (t*p)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-
     @F.pandas_udf("array<int>")
     def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # rows x dim
-        signs = (m @ plane_matrix) >= 0                  # rows x (t*p)
+        signs = (m @ _plane_matrix(m.shape[1])) >= 0     # rows x (t*p)
         bits = signs.reshape(len(m), n_tables, n_planes).astype(np.int64)
         buckets = (bits * weights).sum(axis=2)           # rows x tables
         return pd.Series(list(buckets.astype("int32")))

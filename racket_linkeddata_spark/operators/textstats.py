@@ -72,12 +72,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text"):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Docs with fewer than n whitespace tokens yield an EMPTY array: without
+    the guard F.sequence(1, size-(n-1)) generates a descending sequence and
+    F.slice throws INVALID_PARAMETER_VALUE.START, aborting the job on any
+    corpus containing short/empty documents."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", F.slice(words, i, n)))
-    return F.array_distinct(grams)
+    return F.when(F.size(words) >= n,
+                  F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -93,8 +100,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         d = d.filter(F.col("doc_id") < max_docs)
     d = ensure_parallelism(d)
     # persist: otherwise the shingle expression tree is re-evaluated on
-    # both sides of the self-join
-    s = d.select("doc_id", shingles(d, n).alias("sh")).persist()
+    # both sides of the self-join. Empty shingle sets (docs shorter than
+    # n tokens) are excluded — jaccard is undefined (0/0) for them.
+    s = (d.select("doc_id", shingles(d, n).alias("sh"))
+         .filter(F.size("sh") > 0).persist())
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -136,15 +145,46 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
 
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
                            bands: int = 4,
-                           materialize: bool = True) -> DataFrame:
-    """shingle -> minhash -> band -> bucket self-join: candidate near-dup
-    pairs. The self-join is on band bucket keys (equi, shuffle on a
-    high-cardinality key — scales linearly, never all-pairs).
+                           materialize: bool = True,
+                           max_bucket: int = 512) -> DataFrame:
+    """shingle -> minhash -> band -> bucket grouping: candidate near-dup
+    pairs.
 
-    ``materialize`` persists the exploded band table before the self-join:
-    without it Catalyst re-evaluates the whole shingle+minhash expression
-    tree on BOTH join sides (measured 30x slower). At production scale the
-    signature table is written out (Iceberg) instead of cached."""
+    Scale design (one shuffle, never all-pairs, never a self-join):
+    each (band, bucket) is grouped into a sorted doc_id array and pairs
+    are generated by array algebra inside the group. The expensive
+    shingle+minhash expression tree is evaluated exactly ONCE (the
+    groupBy consumes it) — no persist/cache needed, unlike a bucket
+    self-join which evaluates it on both sides (measured 30x) and leaks
+    the cache.
+
+    ``max_bucket`` caps hot buckets: a degenerate bucket of size s emits
+    s(s-1)/2 pairs — the classic LSH scale-killer on skewed web corpora
+    (boilerplate/empty docs all hashing identically). Buckets above the
+    cap are dropped entirely: they are non-discriminative (every member
+    collides with everything) and at 100 TB would dominate the output.
+    This cap is NOT silent — capped-bucket counts are observable via
+    lsh_bucket_stats(). ``materialize`` is kept for API compatibility;
+    the grouped design no longer needs it."""
+    del materialize  # no double evaluation to guard against anymore
+    exploded = _lsh_band_table(docs, n, k, bands)
+    ids = F.array_sort(F.collect_list("doc_id"))
+    grouped = (exploded.groupBy("band", "bucket")
+               .agg(ids.alias("ids"))
+               .filter((F.size("ids") >= 2)
+                       & (F.size("ids") <= max_bucket)))
+    # pairs within the sorted array: ids[i] x ids[j] for j > i
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
+
+
+def _lsh_band_table(docs: DataFrame, n: int, k: int, bands: int) -> DataFrame:
     sigs = minhash_signatures(docs, n, k)
     rows_per_band = k // bands
     band_structs = F.array(*[
@@ -154,47 +194,76 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
                          for r in range(rows_per_band)]).alias("bucket"))
         for i in range(bands)
     ])
-    exploded = (sigs.select("doc_id", F.explode(band_structs).alias("b"))
-                .select("doc_id", F.col("b.band").alias("band"),
-                        F.col("b.bucket").alias("bucket")))
-    if materialize:
-        exploded = exploded.persist()
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"))
-            .distinct())
+    return (sigs.select("doc_id", F.explode(band_structs).alias("b"))
+            .select("doc_id", F.col("b.band").alias("band"),
+                    F.col("b.bucket").alias("bucket")))
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word hashes — Arrow-batched numpy UDF
-    (per-bit weighted majority doesn't vectorize into column algebra)."""
+def lsh_bucket_stats(docs: DataFrame, n: int = 3, k: int = 16,
+                     bands: int = 4, max_bucket: int = 512) -> DataFrame:
+    """Observability for the hot-bucket cap: per-band counts of buckets,
+    capped buckets, and docs living in capped buckets. 'No silent caps' —
+    run this alongside minhash_lsh_candidates at scale."""
+    exploded = _lsh_band_table(docs, n, k, bands)
+    sizes = exploded.groupBy("band", "bucket").agg(
+        F.count("*").alias("bsz"))
+    capped = F.col("bsz") > max_bucket
+    return (sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(capped, 1).otherwise(0)).alias("n_capped_buckets"),
+        F.sum(F.when(capped, F.col("bsz")).otherwise(0))
+        .alias("n_docs_in_capped"),
+        F.max("bsz").alias("max_bucket_size")))
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash over word hashes — Arrow-batched, fully vectorized.
+
+    Per batch: tokenize, ``pd.factorize`` the flat word list (hash-based;
+    each UNIQUE word is md5-hashed exactly once — on boilerplate-heavy web
+    corpora that is orders fewer hashes than per-occurrence hashing), then
+    one numpy bit-matrix + ``np.add.reduceat`` for all documents at once.
+    No per-row Python in the hot path beyond the C-speed tokenize loop.
+
+    The word hash is the top ``bits`` bits of md5 (default 60 = 15 hex
+    chars, always fits a signed bigint), chosen because DuckDB computes
+    the identical value via ``('0x' || substr(md5(w),1,15))::bigint`` —
+    this operator is exactly oracle-checkable, unlike xxhash64/blake2b.
+    Ties (votes*2 == n_words) vote 0 deterministically."""
+    import hashlib
+
     import numpy as np
+
+    if bits > 60:
+        raise ValueError("bits > 60 would overflow signed bigint "
+                         "(and break md5-prefix oracle parity)")
+    drop = 64 - bits
 
     @F.pandas_udf("bigint")
     def sim(texts: pd.Series) -> pd.Series:
-        out = []
+        flat: list = []
+        offs = [0]
         for t in texts:
-            words = t.split(" ") if t else []
-            if not words:
-                out.append(0)
-                continue
-            hs = np.array([hash_word(w) for w in words], dtype=np.uint64)
-            bits_m = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            # signed: uint64 arithmetic would wrap negative vote sums
-            votes = bits_m.sum(axis=0).astype(np.int64) * 2 - len(words)
-            sig = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(np.int64(sig)))
-        return pd.Series(out)
-
-    def hash_word(w: str) -> int:
-        import hashlib
-        return int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            flat.extend((t or "").split(" "))
+            offs.append(len(flat))
+        if not flat:
+            return pd.Series([0] * len(texts), dtype="int64")
+        inv, uniq = pd.factorize(np.array(flat, dtype=object))
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+             >> drop for w in uniq),
+            dtype=np.uint64, count=len(uniq))
+        hs = uh[inv]
+        bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1
+                  ).astype(np.int32)
+        offs_a = np.asarray(offs)
+        counts = np.diff(offs_a)
+        votes = np.add.reduceat(bits_m, offs_a[:-1], axis=0)
+        votes[counts == 0] = 0  # reduceat repeats the row on empty slices
+        mask = (votes * 2) > counts[:, None]
+        powers = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+        sigs = (mask.astype(np.uint64) * powers).sum(axis=1)
+        return pd.Series(sigs.astype(np.int64))
 
     from .util import ensure_parallelism
 

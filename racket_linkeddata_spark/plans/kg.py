@@ -55,13 +55,15 @@ def session(app: str = "kg", cpus: Optional[int] = None,
 
 
 class KgResult:
-    def __init__(self, extracted, triples, edges, nodes, log, lineage):
+    def __init__(self, extracted, triples, edges, nodes, log, lineage,
+                 snapshot_id: int = 0):
         self.extracted = extracted  # raw extraction output (marker rows too)
         self.triples = triples      # skolemized, linked, pre-dedup
         self.edges = edges          # deduped, n_sources
         self.nodes = nodes          # canon_uri, kind, n_mentions
         self.log = log              # per-url page log (resume input)
         self.lineage = lineage      # per-partition lineage rows
+        self.snapshot_id = snapshot_id
 
 
 def build_kg(
@@ -116,6 +118,7 @@ def build_kg(
         nodes=nodes,
         log=page_log(extracted),
         lineage=partition_lineage(extracted, snapshot_id),
+        snapshot_id=snapshot_id,
     )
 
 
@@ -139,13 +142,44 @@ def materialize(kg: KgResult, out_dir: str, buckets: int = 64,
       joins and incremental MERGEs prune to one bucket instead of a full
       shuffle (a poor man's bucketed table — Iceberg bucket-partitioning
       at production scale);
-    - page log + lineage land beside them (resume inputs).
+    - edges/nodes also carry a ``snap`` partition column (the run's
+      snapshot id). Resume appends land in their OWN partition instead of
+      interleaving rows with prior runs, so a re-run of a failed snapshot
+      can overwrite just its partition and the merged view
+      (read_edges/read_nodes) re-aggregates across snapshots — the
+      parquet stand-in for an Iceberg MERGE;
+    - page log + lineage land beside them (resume inputs; page-log urls
+      are disjoint across snapshots by construction of resume_filter).
     """
-    edges = kg.edges.withColumn(
-        "bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
-    nodes = kg.nodes.withColumn(
-        "bucket", F.pmod(F.xxhash64("canon_uri"), F.lit(buckets)))
-    edges.write.partitionBy("bucket").mode(mode).parquet(f"{out_dir}/edges")
-    nodes.write.partitionBy("bucket").mode(mode).parquet(f"{out_dir}/nodes")
+    snap = F.lit(kg.snapshot_id).cast("int")
+    edges = (kg.edges
+             .withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
+             .withColumn("snap", snap))
+    nodes = (kg.nodes
+             .withColumn("bucket",
+                         F.pmod(F.xxhash64("canon_uri"), F.lit(buckets)))
+             .withColumn("snap", snap))
+    edges.write.partitionBy("snap", "bucket").mode(mode).parquet(
+        f"{out_dir}/edges")
+    nodes.write.partitionBy("snap", "bucket").mode(mode).parquet(
+        f"{out_dir}/nodes")
     kg.log.write.mode(mode).parquet(f"{out_dir}/page_log")
     kg.lineage.write.mode(mode).parquet(f"{out_dir}/lineage")
+
+
+def read_edges(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merged edges view across snapshots: same triple key appearing in
+    several resume snapshots re-aggregates (sum n_sources) — the read
+    side of the parquet MERGE stand-in. Single-snapshot outputs pass
+    through the aggregate unchanged."""
+    from ..operators.dedup import TRIPLE_KEY
+
+    e = spark.read.parquet(f"{out_dir}/edges")
+    return (e.groupBy(*TRIPLE_KEY, "bucket")
+            .agg(F.sum("n_sources").cast("bigint").alias("n_sources")))
+
+
+def read_nodes(spark: SparkSession, out_dir: str) -> DataFrame:
+    n = spark.read.parquet(f"{out_dir}/nodes")
+    return (n.groupBy("canon_uri", "kind", "bucket")
+            .agg(F.sum("n_mentions").cast("bigint").alias("n_mentions")))

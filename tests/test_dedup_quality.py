@@ -79,3 +79,72 @@ def test_fingerprint_deterministic(spark):
     f2 = {r.doc_id: (r.fp_min, r.fp_max)
           for r in fingerprint(_docs(spark)).collect()}
     assert f1 == f2 and len(f1) == 500
+
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """Docs with < n tokens must yield empty shingle sets, not a
+    SparkRuntimeException from a descending F.sequence (ADVICE r1)."""
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "three word doc"),
+            (4, "a proper longer document with enough words")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.1).collect()
+    assert isinstance(pairs, list)  # job completes
+    cands = minhash_lsh_candidates(corpus, n=3, k=16, bands=4).collect()
+    assert isinstance(cands, list)
+
+
+def test_lsh_hot_bucket_cap_keeps_candidates_linear(spark):
+    """A degenerate corpus (thousands of identical docs -> one bucket)
+    must NOT emit a quadratic candidate set: the hot bucket is dropped."""
+    from racket_linkeddata_spark.operators.textstats import lsh_bucket_stats
+
+    n_dup = 3000
+    rows = [(i, "the same boilerplate text repeated on every page of the "
+                "site again and again") for i in range(n_dup)]
+    # plus a handful of genuinely near-dup docs that must SURVIVE the cap
+    for i in range(5):
+        base = f"unique document {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(40))
+        rows.append((10_000 + i, base))
+        rows.append((20_000 + i, base + " tail"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = minhash_lsh_candidates(corpus, n=3, k=16, bands=4,
+                                   max_bucket=256)
+    n_cands = cands.count()
+    # uncapped this would be >= 3000*2999/2 ~ 4.5M pairs
+    assert n_cands < 50_000, f"hot bucket not capped: {n_cands} pairs"
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    planted = {(10_000 + i, 20_000 + i) for i in range(5)}
+    assert planted <= got, f"cap dropped real near-dups: {planted - got}"
+
+    stats = {r.band: r for r in
+             lsh_bucket_stats(corpus, n=3, k=16, bands=4,
+                              max_bucket=256).collect()}
+    assert any(s.n_capped_buckets > 0 for s in stats.values())
+    assert any(s.n_docs_in_capped >= n_dup for s in stats.values())
+
+
+def test_simhash_matches_md5_oracle(spark):
+    """simhash is exactly reproducible from md5 prefixes (the DuckDB
+    oracle computes the identical value)."""
+    import hashlib
+
+    rows = [(0, "alpha beta gamma"), (1, ""), (2, "alpha alpha beta"),
+            (3, "x"), (4, "a  b")]  # incl. empty tokens from double space
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+
+    def py_simhash(text, bits=60):
+        words = text.split(" ")
+        votes = [0] * bits
+        for w in words:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                               "big") >> (64 - bits)
+            for i in range(bits):
+                votes[i] += (h >> i) & 1
+        return sum(1 << i for i in range(bits)
+                   if votes[i] * 2 > len(words))
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_simhash(text), (doc_id, text)

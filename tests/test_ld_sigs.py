@@ -61,3 +61,68 @@ def test_signing_deterministic_given_created(keys):
     s2 = sign_jsonld(LADY_GAGA_CONCERT, priv, created="2024-01-01T00:00:00Z")
     assert s1 == s2
     assert verify_jsonld(s1, pub)
+
+
+def _proof_node(signed):
+    """The proof node in the compacted output (term or full-IRI key)."""
+    key = [k for k in signed
+           if k == "proof" or k.endswith("security#proof")][0]
+    node = signed[key]
+    node = node[0] if isinstance(node, list) else node
+    inner = node.get("@graph", node)
+    return inner[0] if isinstance(inner, list) else inner
+
+
+def test_unknown_suite_type_rejected(keys):
+    (priv, pub), _ = keys
+    signed = sign_jsonld(LADY_GAGA_CONCERT, priv,
+                         created="2024-01-01T00:00:00Z")
+    # rewrite the proof's type: reference errors on unknown suites
+    # (ld-sigs.rkt:778-780); we must not verify under the wrong algorithm
+    import copy
+    forged = copy.deepcopy(signed)
+    inner = _proof_node(forged)
+    type_key = [k for k in inner if k in ("type", "@type")][0]
+    inner[type_key] = "https://example.org/#BogusSignature9999"
+    assert not verify_jsonld(forged, pub)
+
+
+def test_malformed_signature_value_returns_false(keys):
+    (priv, pub), _ = keys
+    signed = sign_jsonld(LADY_GAGA_CONCERT, priv,
+                         created="2024-01-01T00:00:00Z")
+    import copy
+    broken = copy.deepcopy(signed)
+    inner = _proof_node(broken)
+    key = [k for k in inner if "signatureValue" in k][0]
+    inner[key] = "!!!not-base64!!!"
+    assert not verify_jsonld(broken, pub)  # must not raise
+
+
+def test_full_security_context_terms_roundtrip(keys):
+    """Terms beyond the round-1 minimal set (owner, expiration,
+    digestValue...) must expand via the pinned security/v1 URL — a doc
+    using them signs and verifies, and tampering one still fails."""
+    (priv, pub), _ = keys
+    doc = {
+        "@context": ["https://w3id.org/security/v1",
+                     {"ical": "http://www.w3.org/2002/12/cal/ical#"}],
+        "@type": "CryptographicKey",
+        "owner": "https://example.com/i/alice",
+        "expiration": "2026-01-01T00:00:00Z",
+        "digestValue": "abc123",
+        "publicKeyPem": "---FAKE PEM---",
+        "ical:summary": "key record",
+    }
+    signed = sign_jsonld(doc, priv, created="2024-01-01T00:00:00Z")
+    assert verify_jsonld(signed, pub)
+    # the terms actually expanded (not dropped): owner must appear as IRI
+    from racket_linkeddata_spark.core.expand import expand
+    from racket_linkeddata_spark.core.ld_sigs import default_contexts
+    exp = expand(doc, remote_contexts=default_contexts())
+    assert exp[0]["https://w3id.org/security#owner"][0]["@id"] == \
+        "https://example.com/i/alice"
+    assert "https://w3id.org/security#expiration" in exp[0]
+    tampered = dict(signed)
+    tampered["owner"] = "https://example.com/i/mallory"
+    assert not verify_jsonld(tampered, pub)

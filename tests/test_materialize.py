@@ -2,8 +2,38 @@
 
 from pyspark.sql import functions as F
 
-from racket_linkeddata_spark.plans.kg import build_kg, materialize
+from racket_linkeddata_spark.plans.kg import (
+    build_kg, materialize, read_edges, read_nodes)
 from racket_linkeddata_spark.sources.pages import synthesize_pages
+
+
+def test_snapshot_resume_merges_edges(spark, tmp_path):
+    """Two-snapshot resume == single full run under the merged read view:
+    no duplicate triple keys, n_sources summed across snapshots."""
+    pages = synthesize_pages(spark, 80, partitions=4).cache()
+    first = pages.limit(50).cache()
+    out = str(tmp_path / "kg")
+
+    kg1 = build_kg(first, persist=False, snapshot_id=0)
+    materialize(kg1, out, buckets=8)
+
+    log = spark.read.parquet(f"{out}/page_log")
+    kg2 = build_kg(pages, processed_log=log, persist=False, snapshot_id=1)
+    materialize(kg2, out, buckets=8, mode="append")
+    kg2.log.write.mode("append").parquet(f"{out}/page_log")
+
+    merged = read_edges(spark, out)
+    full = build_kg(pages, persist=False).edges
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_dt",
+           "obj_lang", "graph"]
+    assert merged.groupBy(*key).count().filter("count > 1").count() == 0
+    got = {tuple(r[k] for k in key): r.n_sources
+           for r in merged.collect()}
+    want = {tuple(r[k] for k in key): r.n_sources for r in full.collect()}
+    assert got == want
+    # merged nodes view also collapses across snapshots
+    nodes = read_nodes(spark, out)
+    assert nodes.groupBy("canon_uri").count().filter("count > 1").count() == 0
 
 
 def test_materialize_and_resume(spark, tmp_path):

@@ -8,6 +8,7 @@ Vectors mirror the reference's inline tests: 9-statement round trip
 import pytest
 
 from racket_linkeddata_spark.core.nquads import (
+    NQuadsParseError,
     NQuadsSerializeError,
     parse,
     serialize,
@@ -97,3 +98,18 @@ def test_blank_node_injection_rejected():
 def test_comments_and_blank_lines_skipped():
     text = "# comment\n\n<http://ex/s> <http://ex/p> <http://ex/o> .\n"
     assert len(parse(text)) == 1
+
+
+def test_bnode_predicate_rejected_by_default():
+    # W3C N-Quads allows only IRIREF in predicate position
+    q = Quad("_:s", "_:p", "http://ex/o")
+    with pytest.raises(NQuadsSerializeError):
+        serialize_quad(q)
+    with pytest.raises(NQuadsParseError):
+        parse("_:s _:p <http://ex/o> .\n")
+
+
+def test_bnode_predicate_allowed_when_generalized():
+    q = Quad("_:s", "_:p", "http://ex/o")
+    line = serialize_quad(q, generalized=True)
+    assert parse(line + "\n", generalized=True) == [q]
