@@ -242,6 +242,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup — exact baseline (the dedup-family
+    analogue of ann_cosine_threshold; the scale path is the LSH variant
+    below, verified as a subset of this)."""
+    from racket_linkeddata_spark.operators.similarity import (
+        embedding_cosine_pairs)
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """SRP-LSH-bucketed embedding near-dup (candidates from sign-random-
+    projection buckets, exact cosine verification pass). Deterministic
+    but not SQL-expressible (SRP planes) — rows-only check; recall vs
+    the exact query is pinned in tests/test_similarity_quality.py."""
+    from racket_linkeddata_spark.operators.similarity import (
+        embedding_near_dup_lsh)
+
+    return embedding_near_dup_lsh(_emb(spark, sf_dir), threshold=0.4,
+                                  n_planes=4, n_tables=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     from racket_linkeddata_spark.operators.multimodal import (
         extract_features, synthesize_media)
@@ -357,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -458,6 +482,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_guess,
                    greatest(en, de, fr, es) AS marker_hits
             FROM s""",
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.v, b.v) /
+                         (sqrt(list_inner_product(a.v, a.v)) *
+                          sqrt(list_inner_product(b.v, b.v))), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.v, b.v) /
+                        (sqrt(list_inner_product(a.v, a.v)) *
+                         sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4""",
         "ann_cosine_threshold": """
             WITH e AS (SELECT vec_id,
                               CAST(embedding AS DOUBLE[]) AS v

@@ -79,6 +79,95 @@ def _hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
     return planes
 
 
+def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.85,
+                           max_ids: Optional[int] = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, rounded to 4
+    decimals). All-pairs — quadratic, the VERIFICATION baseline of the
+    dedup family (like ngram_jaccard_pairs); the scale path is
+    embedding_near_dup_lsh(), which feeds candidate pairs through the
+    same exact cosine filter."""
+    e = embeddings
+    if max_ids is not None:
+        e = e.filter(F.col(id_col) < max_ids)
+    e = e.select(F.col(id_col).alias("id"),
+                 F.col(vec_col).cast("array<double>").alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.85,
+                           n_planes: int = 8, n_tables: int = 8,
+                           max_bucket: int = 512,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup dedup, the 100 TB shape: SRP-LSH buckets
+    generate candidate pairs (grouped sorted-id arrays per (table,
+    bucket) — one shuffle, no self-join, hot buckets capped like
+    minhash_lsh_candidates), then ONE exact cosine pass over candidates
+    only. Output = subset of embedding_cosine_pairs (recall < 1 by
+    design; raise n_tables for recall, lower max_bucket for cost)."""
+    from .util import ensure_parallelism
+
+    e = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    banded = e.select("id", F.posexplode(
+        _srp_buckets_udf(n_planes, n_tables)(F.col("v")))
+        .alias("tbl", "bucket"))
+    ids = F.array_sort(F.collect_list("id"))
+    grouped = (banded.groupBy("tbl", "bucket").agg(ids.alias("ids"))
+               .filter((F.size("ids") >= 2)
+                       & (F.size("ids") <= max_bucket)))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    cand = (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def _srp_buckets_udf(n_planes: int, n_tables: int):
+    """Shared SRP bucket UDF (see lsh_topk for the design notes):
+    deterministic hyperplanes derived from the observed dim, one numpy
+    matmul for all (tables x planes) projections."""
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    plane_cache: dict = {}
+
+    def _plane_matrix(d: int):
+        pm = plane_cache.get(d)
+        if pm is None:
+            pm = np.asarray(_hyperplanes(d, n_planes * n_tables),
+                            dtype=np.float64).T
+            plane_cache[d] = pm
+        return pm
+
+    @F.pandas_udf("array<int>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        signs = (m @ _plane_matrix(m.shape[1])) >= 0
+        bits = signs.reshape(len(m), n_tables, n_planes).astype(np.int64)
+        return pd.Series(list((bits * weights).sum(axis=2).astype("int32")))
+
+    return buckets_udf
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 4, n_tables: int = 16,
              dim: Optional[int] = None,
@@ -95,31 +184,11 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # derived DETERMINISTICALLY from the observed vector length inside the
     # UDF (same _hyperplanes stream on every worker), so no driver-side
     # action (.first()) is ever triggered building this operator — plan
-    # construction is action-free.
+    # construction is action-free. All (n_tables x n_planes) projections
+    # happen in ONE Arrow-batched numpy matmul — 64 interpreted
+    # aggregate() expressions measured ~10x slower.
     del dim
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-    plane_cache: dict = {}
-
-    def _plane_matrix(d: int):
-        pm = plane_cache.get(d)
-        if pm is None:
-            # distinct deterministic planes per table: slice one stream
-            pm = np.asarray(_hyperplanes(d, n_planes * n_tables),
-                            dtype=np.float64).T  # dim x (t*p)
-            plane_cache[d] = pm
-        return pm
-
-    # all (n_tables x n_planes) projections in ONE Arrow-batched numpy
-    # matmul — 64 interpreted aggregate() expressions measured ~10x slower
-    @F.pandas_udf("array<int>")
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        m = np.asarray(vecs.tolist(), dtype=np.float64)  # rows x dim
-        signs = (m @ _plane_matrix(m.shape[1])) >= 0     # rows x (t*p)
-        bits = signs.reshape(len(m), n_tables, n_planes).astype(np.int64)
-        buckets = (bits * weights).sum(axis=2)           # rows x tables
-        return pd.Series(list(buckets.astype("int32")))
+    buckets_udf = _srp_buckets_udf(n_planes, n_tables)
 
     def buckets_col(vec):
         return buckets_udf(vec)

@@ -47,3 +47,34 @@ def test_lsh_topk_plan_construction_is_action_free(spark):
     assert after == before, f"plan construction ran jobs: {after - before}"
     # and the plan still executes correctly end-to-end
     assert df.count() >= 0
+
+
+def test_embedding_near_dup_lsh_recall_and_subset(spark):
+    """Planted near-dups (cos ~0.98) must be found by the SRP-LSH dedup
+    at high recall, and its output must be a SUBSET of the exact
+    all-pairs baseline at the same threshold (the verification pass is
+    exact cosine, so no false positives can survive)."""
+    import random
+
+    from racket_linkeddata_spark.operators.similarity import (
+        embedding_cosine_pairs, embedding_near_dup_lsh)
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(100):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((i, [float(x) for x in v]))
+        # perturbed copy: cosine ~0.98+
+        rows.append((i + 1000,
+                     [float(x + rng.gauss(0, 0.08)) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in embedding_near_dup_lsh(emb, threshold=0.9, n_planes=8,
+                                           n_tables=16).collect()}
+    planted = {(i, i + 1000) for i in range(100)} & exact
+    assert lsh <= exact, f"false positives: {lsh - exact}"
+    recall = len(planted & lsh) / len(planted)
+    assert recall >= 0.95, f"recall {recall}"
