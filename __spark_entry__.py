@@ -273,6 +273,21 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", "checksum")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling (1->N mapInPandas fan-out). Oracle-checkable:
+    the fake decode is byte-window slicing of an ASCII payload, so DuckDB
+    reproduces each frame's md5 from substring(text, ...)."""
+    from racket_linkeddata_spark.operators.multimodal import (
+        sample_frames, synthesize_media)
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_ms=1000, max_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms",
+        F.md5("frame_payload").alias("frame_md5"),
+        F.length("frame_payload").cast("int").alias("n_frame_bytes"))
+
+
 def q_jsonld_expand_docs(spark, sf_dir):
     """Document-level expansion lifted to a DataFrame op (rows-only:
     expansion output is JSON, not SQL-reconstructable in general)."""
@@ -385,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
         "skew_salted_domain_rollup": q_skew_salted_domain_rollup,
         "tpch_q1": q_tpch_q1,
@@ -543,11 +559,33 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cos_sim DESC, item_id) AS rank
                   FROM scored)
             WHERE rank <= 5""",
+        "multimodal_frames": """
+            -- documents with doc_id % 3 = 2 synthesize as 'video';
+            -- meta_ms = n_chars*33; frame i = 16-byte window at offset
+            -- i*16 (payload is the ASCII utf-8 text, so char slices ==
+            -- byte slices and md5(varchar) == md5(binary))
+            WITH v AS (
+              SELECT doc_id AS media_id, text,
+                     (n_chars * 33)::INT AS meta_ms
+              FROM documents WHERE doc_id % 3 = 2),
+            f AS (
+              SELECT media_id, text,
+                     unnest(range(0, least(meta_ms // 1000, 4)))
+                       AS frame_idx
+              FROM v)
+            SELECT media_id, frame_idx::INT AS frame_idx,
+                   (frame_idx * 1000)::INT AS ts_ms,
+                   md5(substring(text, frame_idx::INT * 16 + 1, 16))
+                     AS frame_md5,
+                   length(substring(text, frame_idx::INT * 16 + 1, 16))::INT
+                     AS n_frame_bytes
+            FROM f""",
         # dedup_minhash_lsh / text_fingerprint / ann_lsh_topk /
-        # multimodal_features: no oracle — xxhash64/SRP bucketing aren't
-        # DuckDB-expressible; the driver's rows-only check applies (their
-        # exact-verification counterparts dedup_ngram_jaccard /
-        # ann_cosine_threshold / ann_brute_topk ARE oracle-checked above)
+        # dedup_embedding_lsh / multimodal_features: no oracle —
+        # xxhash64/SRP bucketing aren't DuckDB-expressible; the driver's
+        # rows-only check applies (their exact-verification counterparts
+        # dedup_ngram_jaccard / ann_cosine_threshold / ann_brute_topk /
+        # dedup_embedding_cosine ARE oracle-checked above)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
