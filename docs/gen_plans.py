@@ -44,6 +44,13 @@ def main():
         ("Dim joins + rollup (tpch_join): broadcast x2, pushdown + "
          "pruned ReadSchema",
          cap(em.q_tpch_join(spark, sf), 70)),
+        ("MinHash-LSH candidates: ONE grouped aggregation over the band "
+         "table (no self-join, no persist), grouped sorted-id pair "
+         "generation, final distinct",
+         cap(__import__(
+             "racket_linkeddata_spark.operators.textstats",
+             fromlist=["minhash_lsh_candidates"]).minhash_lsh_candidates(
+                 spark.read.parquet(f"{sf}/documents.parquet")), 70)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "

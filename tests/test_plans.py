@@ -61,3 +61,30 @@ def test_extraction_ships_only_url_and_html(spark):
     assert m is not None
     assert "url" in p and "html" in p
     assert "warc_ts" not in p and "lang" not in p.split("MapInPandas")[0]
+
+
+def test_lsh_candidates_no_join_no_cache(spark):
+    """The round-2 LSH design: candidates come from ONE grouped
+    aggregation over the band table — no self-join (round 1 evaluated
+    the minhash tree on both sides), no persist (round 1 leaked the
+    cache)."""
+    from racket_linkeddata_spark.operators.textstats import (
+        minhash_lsh_candidates)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(minhash_lsh_candidates(docs))
+    assert "Join" not in p, "LSH pair generation must not self-join"
+    assert "InMemoryTableScan" not in p, "no persist needed/leaked"
+    # grouped pair-gen + final distinct: exactly two aggregations
+    # (each two-phase partial+final under AQE)
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_embedding_lsh_no_cross_product(spark):
+    from racket_linkeddata_spark.operators.similarity import (
+        embedding_near_dup_lsh)
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(embedding_near_dup_lsh(e))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
