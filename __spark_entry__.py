@@ -260,8 +260,11 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import (
         embedding_near_dup_lsh)
 
+    # 8 planes = 256 buckets/table: bucket occupancy (and thus candidate
+    # count) stays ~linear in corpus size — 4 planes measured 20s at
+    # sf0.1 because 16 buckets/table degenerates toward all-pairs
     return embedding_near_dup_lsh(_emb(spark, sf_dir), threshold=0.4,
-                                  n_planes=4, n_tables=8)
+                                  n_planes=8, n_tables=8, max_bucket=256)
 
 
 def q_multimodal_features(spark, sf_dir):

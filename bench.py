@@ -43,9 +43,13 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
     def timed(name, fn):
         if only and name not in only:
             return
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        out = None
+        for _ in range(reps):  # best-of: damps co-tenant host noise
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # synthesize the pages corpus to parquet once, OUTSIDE the timed
@@ -89,9 +93,11 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
 
     queries = entry_mod.queries()
     for name in ["kg_triples", "kg_edges", "kg_page_log",
-                 "dedup_minhash_lsh", "dedup_ngram_jaccard", "text_tokens",
+                 "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "dedup_simhash", "dedup_embedding_lsh", "text_tokens",
                  "text_langid", "ann_brute_topk", "ann_lsh_topk",
-                 "tpch_q1", "tpch_join", "events_window"]:
+                 "multimodal_frames", "tpch_q1", "tpch_join",
+                 "events_window"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
     result = {

@@ -115,9 +115,13 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.85,
     design; raise n_tables for recall, lower max_bucket for cost)."""
     from .util import ensure_parallelism
 
-    e = ensure_parallelism(embeddings).select(
+    src = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"))
+    # parallelism floor only on the UDF branch; the join sides read the
+    # raw scan (no repartition shuffle — they join by id and AQE
+    # broadcasts them when small)
+    e = ensure_parallelism(src)
     banded = e.select("id", F.posexplode(
         _srp_buckets_udf(n_planes, n_tables)(F.col("v")))
         .alias("tbl", "bucket"))
@@ -132,8 +136,8 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.85,
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
     cand = (grouped.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b").distinct())
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = src.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = src.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
                     F.round(cosine(F.col("va"), F.col("vb")), 4)
