@@ -305,6 +305,23 @@ def q_jsonld_expand_docs(spark, sf_dir):
     return expand_documents(docs)
 
 
+def q_jsonld_normalize_docs(spark, sf_dir):
+    """Document-level URDNA2015 normalize lifted to a DataFrame op —
+    EXACT-string oracle (the wrap doc is bnode-free, so DuckDB rebuilds
+    the canonical N-Quads document verbatim)."""
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        normalize_documents)
+
+    d = _docs(spark, sf_dir)
+    jsonld = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG + '"}, "@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'), F.col("lang"), F.lit('"}'))
+    docs = d.select("doc_id", jsonld.alias("doc"))
+    return (normalize_documents(docs)
+            .select("doc_id", F.col("out").alias("canon_nquads")))
+
+
 def q_skew_salted_domain_rollup(spark, sf_dir):
     """Salted two-phase aggregate over a deliberately skewed key."""
     from racket_linkeddata_spark.operators.skew import salted_agg
@@ -405,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
+        "jsonld_normalize_docs": q_jsonld_normalize_docs,
         "skew_salted_domain_rollup": q_skew_salted_domain_rollup,
         "tpch_q1": q_tpch_q1,
         "tpch_join": q_tpch_join,
@@ -429,6 +447,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{KG}Document', 0, (SELECT count(*) FROM documents)""",
         "kg_page_log": _ORACLE_CANON,
+        "jsonld_normalize_docs": f"""
+            SELECT doc_id,
+                   '<{KG}doc/' || doc_id || '> <{KG}lang> "' || lang
+                   || '" .' || chr(10) AS canon_nquads
+            FROM documents""",
         "skew_salted_domain_rollup": f"""
             SELECT pred, count(*) AS n FROM ({_ORACLE_TRIPLES})
             GROUP BY pred""",

@@ -71,3 +71,70 @@ flatten_documents = _lift(
 normalize_documents = _lift(
     lambda doc, ctxs, base=None, mode="URDNA2015": canonical_nquads(
         _to_rdf(doc, base=base, remote_contexts=ctxs), mode=mode))
+
+
+def _from_rdf_text(nq_text, ctxs, use_native_types=False):
+    from ..core.from_rdf import from_rdf
+    from ..core.nquads import parse
+
+    return json.dumps(from_rdf(parse(nq_text),
+                               use_native_types=use_native_types),
+                      sort_keys=True)
+
+
+# N-Quads text column -> expanded JSON-LD (the fromRdf direction). The
+# input column is raw N-Quads, not JSON — bypass _lift's json.loads.
+def from_rdf_documents(docs: DataFrame, *, id_col: str = "doc_id",
+                       nquads_col: str = "nquads",
+                       use_native_types: bool = False) -> DataFrame:
+    from ..core.nquads import NQuadsParseError
+    from .util import ensure_parallelism
+
+    def fn(batches):
+        for pdf in batches:
+            ids, outs, errs = [], [], []
+            for i, txt in zip(pdf[id_col].tolist(),
+                              pdf[nquads_col].tolist()):
+                ids.append(i)
+                try:
+                    outs.append(_from_rdf_text(txt, None, use_native_types))
+                    errs.append(None)
+                except (NQuadsParseError, ValueError) as e:
+                    outs.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame({"doc_id": ids, "out": outs, "error": errs})
+
+    pruned = ensure_parallelism(docs.select(id_col, nquads_col))
+    return pruned.mapInPandas(fn, schema=OUT_SCHEMA)
+
+
+def _frame_doc(doc, ctxs, frame=None):
+    from ..core.frame import frame as _frame
+
+    return json.dumps(_frame(doc, frame, remote_contexts=ctxs),
+                      sort_keys=True)
+
+
+frame_documents = _lift(_frame_doc)
+
+
+def _sign_doc(doc, ctxs, private_key_pem=None, created=None, creator=None):
+    from ..core.ld_sigs import sign_jsonld
+
+    return json.dumps(
+        sign_jsonld(doc, private_key_pem, created=created, creator=creator,
+                    remote_contexts=ctxs), sort_keys=True)
+
+
+def _verify_doc(doc, ctxs, public_key_pem=None):
+    from ..core.ld_sigs import verify_jsonld
+
+    return json.dumps(
+        verify_jsonld(doc, public_key_pem, remote_contexts=ctxs))
+
+
+# LD-signature sign/verify lifted to document columns: keys are passed
+# as parameters (broadcast with the closure) — per-row key material
+# would belong in a join against a key table instead.
+sign_documents = _lift(_sign_doc)
+verify_documents = _lift(_verify_doc)

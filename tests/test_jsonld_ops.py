@@ -57,3 +57,68 @@ def test_salted_agg_equivalent_to_groupby(spark):
     # the mega-domain skew is real in the synth corpus
     top = max(v[0] for v in got.values())
     assert top >= 0.25 * 3000
+
+
+def test_from_rdf_documents_matches_core(spark):
+    from racket_linkeddata_spark.core.from_rdf import from_rdf
+    from racket_linkeddata_spark.core.nquads import parse, serialize
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        from_rdf_documents)
+
+    rows = []
+    for i in range(20):
+        nq = serialize(to_rdf(_jsonld_doc(i)))
+        rows.append((i, nq))
+    rows.append((10_001, "<bad nquads"))
+    df = spark.createDataFrame(rows, "doc_id long, nquads string")
+    got = {r.doc_id: (r.out, r.error)
+           for r in from_rdf_documents(df).collect()}
+    for i, nq in rows[:20]:
+        want = json.dumps(from_rdf(parse(nq)), sort_keys=True)
+        assert got[i] == (want, None)
+    assert got[10_001][0] is None and got[10_001][1] is not None
+
+
+def test_frame_documents_matches_core(spark):
+    from racket_linkeddata_spark.core.frame import frame as core_frame
+    from racket_linkeddata_spark.operators.jsonld_ops import frame_documents
+
+    frame_doc = {"@context": {"@vocab": "https://example.org/v/"},
+                 "@type": "Person"}
+    df = _docs_df(spark, 15)
+    got = {r.doc_id: (r.out, r.error)
+           for r in frame_documents(df, frame=frame_doc).collect()}
+    for i in range(15):
+        want = json.dumps(core_frame(_jsonld_doc(i), frame_doc),
+                          sort_keys=True)
+        assert got[i] == (want, None)
+
+
+def test_sign_verify_documents_roundtrip(spark):
+    from racket_linkeddata_spark.core.ld_sigs import generate_rsa_keypair
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        sign_documents, verify_documents)
+
+    priv, pub = generate_rsa_keypair()
+    rows = [(i, json.dumps({
+        "@context": {"v": "https://example.org/v/"},
+        "@id": f"https://example.org/d/{i}", "v:n": i})) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, doc string")
+    signed = sign_documents(df, private_key_pem=priv,
+                            created="2024-01-01T00:00:00Z")
+    srows = signed.collect()
+    assert all(r.error is None for r in srows)
+    signed_df = spark.createDataFrame(
+        [(r.doc_id, r.out) for r in srows], "doc_id long, doc string")
+    verified = {r.doc_id: r.out
+                for r in verify_documents(
+                    signed_df, public_key_pem=pub).collect()}
+    assert all(v == "true" for v in verified.values())
+    # tamper one: flip a byte in the payload
+    tampered = spark.createDataFrame(
+        [(r.doc_id, r.out.replace('"v:n": 0', '"v:n": 999'))
+         for r in srows], "doc_id long, doc string")
+    bad = {r.doc_id: r.out
+           for r in verify_documents(tampered, public_key_pem=pub).collect()}
+    assert bad[0] == "false"
+    assert all(v == "true" for k, v in bad.items() if k != 0)
