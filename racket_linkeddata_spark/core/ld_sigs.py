@@ -219,6 +219,45 @@ def verify_jsonld(
     return ok
 
 
+def verify_jsonld_resolving(
+    signed_document: Dict[str, Any],
+    loader,
+    *,
+    remote_contexts: Optional[Dict[str, Any]] = None,
+) -> bool:
+    """Verify, fetching the signing key BY the proof's creator IRI
+    (lds-verify-jsonld's key fetch, ld-sigs.rkt:783-792): dereference
+    dc:creator through a document loader (sources/remote_doc.py — pinned
+    map offline, HTTP on a driver with network), expand the key document
+    with the security context, and verify against its sec:publicKeyPem.
+    Returns False on any resolution failure rather than raising."""
+    ctxs = default_contexts(remote_contexts)
+    try:
+        expanded = expand(signed_document, remote_contexts=ctxs)
+    except Exception:
+        return False
+    if len(expanded) != 1:
+        return False
+    proofs = expanded[0].get(SEC_PROOF) or []
+    for proof_entry in proofs:
+        proof = proof_entry.get("@graph", [proof_entry])
+        proof = proof[0] if isinstance(proof, list) else proof
+        creators = proof.get(DC_CREATOR) or []
+        if not creators or "@id" not in creators[0]:
+            return False
+        try:
+            key_doc = loader.load(creators[0]["@id"]).document
+            key_expanded = expand(key_doc, remote_contexts=ctxs)
+            pem_entries = key_expanded[0].get(SEC_PUBLIC_KEY_PEM) or []
+            pem = pem_entries[0]["@value"]
+        except Exception:
+            return False
+        if not verify_jsonld(signed_document, pem,
+                             remote_contexts=remote_contexts):
+            return False
+    return bool(proofs)
+
+
 def generate_rsa_keypair(bits: int = 2048):
     """(private_pem, public_pem) helper for tests."""
     from cryptography.hazmat.primitives import serialization

@@ -126,3 +126,37 @@ def test_full_security_context_terms_roundtrip(keys):
     tampered = dict(signed)
     tampered["owner"] = "https://example.com/i/mallory"
     assert not verify_jsonld(tampered, pub)
+
+
+def test_verify_resolving_key_by_creator_iri(keys):
+    """Key fetch by IRI (ld-sigs.rkt:783-792): the verifier dereferences
+    the proof's dc:creator through a document loader and verifies
+    against the fetched key document's publicKeyPem."""
+    from racket_linkeddata_spark.core.ld_sigs import verify_jsonld_resolving
+    from racket_linkeddata_spark.sources.remote_doc import (
+        PinnedDocumentLoader, PinnedEntry)
+
+    (priv, pub), (_, pub2) = keys
+    key_iri = "https://example.com/keys/alice#main"
+    key_doc = {
+        "@context": "https://w3id.org/security/v1",
+        "@id": key_iri,
+        "@type": "CryptographicKey",
+        "publicKeyPem": pub,
+    }
+    wrong_key_doc = dict(key_doc, publicKeyPem=pub2)
+    signed = sign_jsonld(LADY_GAGA_CONCERT, priv, creator=key_iri,
+                         created="2024-01-01T00:00:00Z")
+
+    loader = PinnedDocumentLoader({
+        key_iri: PinnedEntry(document=key_doc,
+                             content_type="application/ld+json")})
+    assert verify_jsonld_resolving(signed, loader)
+
+    wrong = PinnedDocumentLoader({
+        key_iri: PinnedEntry(document=wrong_key_doc,
+                             content_type="application/ld+json")})
+    assert not verify_jsonld_resolving(signed, wrong)
+
+    missing = PinnedDocumentLoader({})
+    assert not verify_jsonld_resolving(signed, missing)  # 404 -> False
