@@ -23,6 +23,9 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--staging")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--compact", action="store_true",
+                   help="fold resume snapshots into snap=0 after the run "
+                        "(Iceberg rewriteDataFiles stand-in)")
     p.add_argument("--n-synth", type=int)
     p.add_argument("--buckets", type=int, default=64)
     args = p.parse_args()
@@ -59,7 +62,9 @@ def main():
     materialize(kg, args.out, buckets=args.buckets,
                 mode="append" if args.resume and processed_log is not None
                 else "overwrite")
-    from racket_linkeddata_spark.plans.kg import read_edges
+    from racket_linkeddata_spark.plans.kg import compact_snapshots, read_edges
+    if args.compact:
+        compact_snapshots(spark, args.out)
     n = read_edges(spark, args.out).count()
     print(f"kg-construct done: {n} edges at {args.out} "
           f"(snapshot {snapshot_id})")

@@ -187,3 +187,25 @@ def read_nodes(spark: SparkSession, out_dir: str) -> DataFrame:
     n = spark.read.parquet(f"{out_dir}/nodes")
     return (n.groupBy("canon_uri", "kind", "bucket")
             .agg(F.sum("n_mentions").cast("bigint").alias("n_mentions")))
+
+
+def compact_snapshots(spark: SparkSession, out_dir: str) -> None:
+    """Fold all resume snapshots into snap=0: the parquet stand-in for
+    Iceberg's rewriteDataFiles/MERGE maintenance pass. Resume appends
+    are cheap but each adds a snapshot partition the merged read view
+    re-aggregates over; periodic compaction bounds that read
+    amplification. The rewrite goes through a temp dir + atomic rename
+    so a crash mid-compaction leaves the original table intact (Iceberg
+    gets this from snapshot isolation; here it's the filesystem swap)."""
+    import shutil
+
+    for table, reader in (("edges", read_edges), ("nodes", read_nodes)):
+        path = f"{out_dir}/{table}"
+        tmp = f"{out_dir}/{table}__compacting"
+        (reader(spark, out_dir).withColumn("snap", F.lit(0).cast("int"))
+         .write.partitionBy("snap", "bucket").mode("overwrite").parquet(tmp))
+        old = f"{out_dir}/{table}__old"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)

@@ -71,3 +71,31 @@ def test_sql_views(spark):
         SELECT count(*) AS n FROM kg_edges e
         JOIN kg_nodes s ON e.subj = s.canon_uri""").first().n
     assert joined == spark.sql("SELECT count(*) FROM kg_edges").first()[0]
+
+
+def test_compact_snapshots_folds_to_single_snapshot(spark, tmp_path):
+    from racket_linkeddata_spark.plans.kg import compact_snapshots
+
+    pages = synthesize_pages(spark, 60, partitions=4).cache()
+    first = pages.limit(40).cache()
+    out = str(tmp_path / "kg")
+    materialize(build_kg(first, persist=False, snapshot_id=0), out, buckets=4)
+    log = spark.read.parquet(f"{out}/page_log")
+    materialize(build_kg(pages, processed_log=log, persist=False,
+                         snapshot_id=1), out, buckets=4, mode="append")
+
+    before = {tuple(r) for r in read_edges(spark, out).collect()}
+    nodes_before = {tuple(r) for r in read_nodes(spark, out).collect()}
+    compact_snapshots(spark, out)
+
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.select("snap").distinct().collect() == [
+        edges.sparkSession.createDataFrame([(0,)], "snap int").first()]
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == before
+    assert {tuple(r) for r in read_nodes(spark, out).collect()} == \
+        nodes_before
+    # compacted table keeps working as the base for a THIRD snapshot
+    kg3 = build_kg(pages, processed_log=spark.read.parquet(
+        f"{out}/page_log"), persist=False, snapshot_id=1)
+    materialize(kg3, out, buckets=4, mode="append")
+    assert read_edges(spark, out).count() >= len(before)
