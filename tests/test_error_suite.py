@@ -1,4 +1,4 @@
-"""Negative tests: error-manifest.jsonld (46 cases) — each input must raise
+"""Negative tests: error-manifest.jsonld (43 cases) — each input must raise
 a JsonLdError whose code equals the expected spec error-name string."""
 
 import pytest
