@@ -267,6 +267,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                                   n_planes=8, n_tables=8, max_bucket=256)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: near-dup pairs -> connected components
+    (pointer-jumping min-label propagation) -> keep-one-per-cluster
+    verdicts. Oracle: DuckDB recursive-CTE transitive closure."""
+    from racket_linkeddata_spark.operators.graph import dedup_keepers
+    from racket_linkeddata_spark.operators.similarity import (
+        embedding_cosine_pairs)
+
+    e = _emb(spark, sf_dir)
+    pairs = (embedding_cosine_pairs(e, threshold=0.4)
+             .select(F.col("id_a").alias("doc_a"),
+                     F.col("id_b").alias("doc_b")))
+    ids = e.select(F.col("vec_id").alias("doc_id"))
+    return dedup_keepers(pairs, ids)
+
+
 def q_multimodal_features(spark, sf_dir):
     from racket_linkeddata_spark.operators.multimodal import (
         extract_features, synthesize_media)
@@ -415,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_brute_topk": q_ann_brute_topk,
@@ -535,6 +552,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_inner_product(a.v, b.v) /
                         (sqrt(list_inner_product(a.v, a.v)) *
                          sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4""",
+        "dedup_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_inner_product(a.v, b.v) /
+                    (sqrt(list_inner_product(a.v, a.v)) *
+                     sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4),
+            edges AS (SELECT src, dst FROM pairs
+                      UNION SELECT dst, src FROM pairs),
+            walk(id, r) AS (
+              SELECT vec_id, vec_id FROM e
+              UNION
+              SELECT w.id, ed.dst FROM walk w JOIN edges ed ON ed.src = w.r)
+            SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
+            FROM walk GROUP BY id""",
         "ann_cosine_threshold": """
             WITH e AS (SELECT vec_id,
                               CAST(embedding AS DOUBLE[]) AS v
