@@ -51,3 +51,32 @@ def test_edges_cache_released(spark):
     # are localCheckpoint blocks (released by GC), not .persist leaks —
     # allow the per-round checkpoints but no unbounded growth vs rounds
     assert after - before <= 2 * 5 + 2, f"cache leak: {before}->{after}"
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    import random
+
+    def union_find_labels(pairs):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 120
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.id: r.cluster_id
+               for r in connected_components(df).collect()}
+        want = union_find_labels(pairs)
+        assert got == want, f"trial {trial}"
