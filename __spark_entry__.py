@@ -308,8 +308,9 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 def q_jsonld_expand_docs(spark, sf_dir):
-    """Document-level expansion lifted to a DataFrame op (rows-only:
-    expansion output is JSON, not SQL-reconstructable in general)."""
+    """Document-level expansion lifted to a DataFrame op. The wrap doc's
+    expanded JSON (sort_keys) is deterministic, so DuckDB reconstructs
+    the exact output string."""
     from racket_linkeddata_spark.operators.jsonld_ops import expand_documents
 
     d = _docs(spark, sf_dir)
@@ -464,6 +465,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{KG}Document', 0, (SELECT count(*) FROM documents)""",
         "kg_page_log": _ORACLE_CANON,
+        "jsonld_expand_docs": f"""
+            SELECT doc_id,
+                   '[{{"@id": "{KG}doc/' || doc_id
+                   || '", "{KG}lang": [{{"@value": "' || lang
+                   || '"}}]}}]' AS out,
+                   NULL::VARCHAR AS error
+            FROM documents""",
         "jsonld_normalize_docs": f"""
             SELECT doc_id,
                    '<{KG}doc/' || doc_id || '> <{KG}lang> "' || lang
