@@ -28,18 +28,24 @@ OUT_SCHEMA = "doc_id bigint, out string, error string"
 def _lift(transform):
     def op(docs: DataFrame, *args, id_col: str = "doc_id",
            json_col: str = "doc", contexts: Optional[Dict[str, Any]] = None,
-           **kwargs) -> DataFrame:
+           base_col: Optional[str] = None, **kwargs) -> DataFrame:
+        """``base_col``: per-row base IRI column (web pages each carry
+        their own base); overrides any constant ``base`` kwarg."""
         from .util import ensure_parallelism
 
         def fn(batches):
             for pdf in batches:
                 ids, outs, errs = [], [], []
-                for i, txt in zip(pdf[id_col].tolist(),
-                                  pdf[json_col].tolist()):
+                bases = (pdf[base_col].tolist() if base_col
+                         else [None] * len(pdf))
+                for i, txt, b in zip(pdf[id_col].tolist(),
+                                     pdf[json_col].tolist(), bases):
                     ids.append(i)
+                    kw = kwargs if base_col is None else {**kwargs,
+                                                          "base": b}
                     try:
                         doc = json.loads(txt)
-                        outs.append(transform(doc, contexts, *args, **kwargs))
+                        outs.append(transform(doc, contexts, *args, **kw))
                         errs.append(None)
                     except (ValueError, JsonLdError, RecursionError,
                             CanonicalizationBudgetExceeded) as e:
@@ -48,15 +54,17 @@ def _lift(transform):
                 yield pd.DataFrame(
                     {"doc_id": ids, "out": outs, "error": errs})
 
-        pruned = ensure_parallelism(docs.select(id_col, json_col))
+        cols = [id_col, json_col] + ([base_col] if base_col else [])
+        pruned = ensure_parallelism(docs.select(*cols))
         return pruned.mapInPandas(fn, schema=OUT_SCHEMA)
 
     return op
 
 
 expand_documents = _lift(
-    lambda doc, ctxs, base=None: json.dumps(
-        _expand(doc, base=base, remote_contexts=ctxs), sort_keys=True))
+    lambda doc, ctxs, base=None, expand_context=None: json.dumps(
+        _expand(doc, base=base, expand_context=expand_context,
+                remote_contexts=ctxs), sort_keys=True))
 
 compact_documents = _lift(
     lambda doc, ctxs, context=None, base=None: json.dumps(
@@ -64,8 +72,10 @@ compact_documents = _lift(
         sort_keys=True))
 
 flatten_documents = _lift(
-    lambda doc, ctxs, context=None, base=None: json.dumps(
-        _flatten(doc, context, base=base, remote_contexts=ctxs),
+    lambda doc, ctxs, context=None, base=None,
+    compact_arrays=True: json.dumps(
+        _flatten(doc, context, base=base, compact_arrays=compact_arrays,
+                 remote_contexts=ctxs),
         sort_keys=True))
 
 normalize_documents = _lift(
