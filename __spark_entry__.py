@@ -590,6 +590,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_inner_product(q.v, c.v) /
                         (sqrt(list_inner_product(q.v, q.v)) *
                          sqrt(list_inner_product(c.v, c.v))), 4) >= 0.3""",
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(1, greatest(length(text) - 7, 1) + 1),
+                     i -> md5(substring(text, i, 8)))) AS fp_min,
+                   list_max(list_transform(
+                     range(1, greatest(length(text) - 7, 1) + 1),
+                     i -> md5(substring(text, i, 8)))) AS fp_max
+            FROM documents""",
         "dedup_simhash": """
             -- exact replica of operators/textstats.simhash: per-word
             -- 60-bit md5-prefix hashes, per-bit majority vote
@@ -649,12 +658,12 @@ def oracle_sql() -> dict[str, str]:
                    length(substring(text, frame_idx::INT * 16 + 1, 16))::INT
                      AS n_frame_bytes
             FROM f""",
-        # dedup_minhash_lsh / text_fingerprint / ann_lsh_topk /
-        # dedup_embedding_lsh / multimodal_features: no oracle —
-        # xxhash64/SRP bucketing aren't DuckDB-expressible; the driver's
-        # rows-only check applies (their exact-verification counterparts
-        # dedup_ngram_jaccard / ann_cosine_threshold / ann_brute_topk /
-        # dedup_embedding_cosine ARE oracle-checked above)
+        # dedup_minhash_lsh / ann_lsh_topk / dedup_embedding_lsh /
+        # multimodal_features: no oracle — xxhash64/SRP bucketing aren't
+        # DuckDB-expressible; the driver's rows-only check applies (their
+        # exact-verification counterparts dedup_ngram_jaccard /
+        # ann_cosine_threshold / ann_brute_topk / dedup_embedding_cosine
+        # ARE oracle-checked above)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
