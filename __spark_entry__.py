@@ -110,6 +110,50 @@ FROM documents
 """
 
 
+# DuckDB replica of the full MinHash-LSH candidate pipeline
+# (operators/textstats.py): word 3-gram shingles -> md5-prefix base
+# hashes folded to 31 bits -> 16 affine-rehash minima -> 4 bands of 4
+# rows -> candidate pairs within each band bucket (cap 512), distinct.
+_MERSENNE = (1 << 31) - 1
+_ORACLE_MINHASH_LSH = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct(list_transform(
+                     range(1, len(string_split(text, ' ')) - 1),
+                     i -> string_split(text, ' ')[i] || ' ' ||
+                          string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2]))
+              ELSE [] END AS s
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         list_transform(s, g ->
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483648) AS hs
+  FROM sh),
+mins AS (
+  SELECT doc_id,
+         {', '.join(
+             f"coalesce(list_min(list_transform(hs, h -> "
+             f"(h*{2 * j + 1} + {104729 * (j + 1)}) % {_MERSENNE})), "
+             f"{_MERSENNE}) AS mh{j}" for j in range(16))}
+  FROM base),
+banded AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {i} AS band, "
+      f"{'||chr(31)||'.join(f'mh{i * 4 + r}::VARCHAR' for r in range(4))}"
+      f" AS bucket FROM mins" for i in range(4))}),
+sized AS (
+  SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
+ok AS (
+  SELECT banded.* FROM banded JOIN sized USING (band, bucket)
+  WHERE c BETWEEN 2 AND 512)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ok a JOIN ok b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 # --- query implementations -------------------------------------------------
 
 def q_kg_triples(spark, sf_dir):
@@ -590,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_inner_product(q.v, c.v) /
                         (sqrt(list_inner_product(q.v, q.v)) *
                          sqrt(list_inner_product(c.v, c.v))), 4) >= 0.3""",
+        "dedup_minhash_lsh": _ORACLE_MINHASH_LSH,
         "text_fingerprint": """
             SELECT doc_id,
                    list_min(list_transform(
@@ -658,12 +703,12 @@ def oracle_sql() -> dict[str, str]:
                    length(substring(text, frame_idx::INT * 16 + 1, 16))::INT
                      AS n_frame_bytes
             FROM f""",
-        # dedup_minhash_lsh / ann_lsh_topk / dedup_embedding_lsh /
-        # multimodal_features: no oracle — xxhash64/SRP bucketing aren't
-        # DuckDB-expressible; the driver's rows-only check applies (their
-        # exact-verification counterparts dedup_ngram_jaccard /
+        # ann_lsh_topk / dedup_embedding_lsh / multimodal_features: no
+        # oracle — SRP hyperplane bucketing and the fake decode's binary
+        # checksum aren't DuckDB-expressible; the driver's rows-only
+        # check applies (their exact-verification counterparts
         # ann_cosine_threshold / ann_brute_topk / dedup_embedding_cosine
-        # ARE oracle-checked above)
+        # / multimodal_frames ARE oracle-checked above)
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -125,10 +125,15 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _minhash_cols(shingle_col, k: int):
-    # fold xxhash64 into 31 bits first so a*h+b never overflows a long
-    # under ANSI arithmetic.
-    base = F.transform(shingle_col,
-                       lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    # base hash = top 60 bits of md5 folded into 31 bits (so a*h+b never
+    # overflows a long under ANSI arithmetic). md5 instead of xxhash64:
+    # measured within noise of xxhash64 on this path, and DuckDB computes
+    # the identical value — the WHOLE minhash+LSH candidate pipeline is
+    # exactly oracle-checkable.
+    base = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(1 << 31))
     # ONE traversal computes all k minima (aggregate with an array
     # accumulator): k separate array_min(transform(base, ...)) columns
     # each re-evaluate the whole shingle+xxhash tree (interpreted HOFs
