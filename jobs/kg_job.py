@@ -30,7 +30,22 @@ def main():
     p.add_argument("--buckets", type=int, default=64)
     args = p.parse_args()
 
-    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    # Deployment-agnostic session: no master/memory pinning here (that's
+    # spark-submit's job on a cluster), but DO bound the Arrow batch
+    # size: page rows carry multi-KB html binaries, and the default
+    # 10000-row batches x 32 concurrent tasks exhaust the JVM's direct
+    # memory arena (reproduced at 1.2M pages: netty OutOfDirectMemoryError
+    # at the 1 GiB default). 2048-row batches keep per-task buffers a few
+    # MB regardless of page size. driver.memory only takes effect when
+    # launched as a plain python process (JVM not yet started); under
+    # spark-submit the submit-time value wins.
+    spark = (SparkSession.builder.appName("kg-construct")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.files.openCostInBytes",
+                     str(128 * 1024 * 1024))
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
     from racket_linkeddata_spark.plans.kg import build_kg, materialize
     from racket_linkeddata_spark.sources.pages import synthesize_pages
 
