@@ -53,6 +53,12 @@ def session(app: str = "kg", cpus: Optional[int] = None,
          # maxPartitionBytes regardless).
          .config("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # 8192 suits this LOCAL session's small synthetic pages (2048
+         # measured ~20% slower from batch overhead). Size by BYTES at
+         # production: rows x avg page size x concurrent tasks must fit
+         # the JVM direct-memory arena — real 100KB+ pages need ~2048
+         # (see jobs/kg_job.py, where the 10000-row default reproducibly
+         # OOMed netty direct memory at 1.2M pages)
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
          .config("spark.driver.memory", "8g"))
     return b.getOrCreate()
