@@ -10,18 +10,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def link_entities(triples: DataFrame, aliases: DataFrame) -> DataFrame:
+def link_entities(triples: DataFrame, aliases: DataFrame,
+                  broadcast: bool = True) -> DataFrame:
     """Map subj/obj IRIs through aliases(mention, canon_uri).
 
     Unmatched IRIs keep their original value; literal objects
     (obj_kind=2) are never rewritten.
-    """
-    subj_alias = F.broadcast(
-        aliases.select(F.col("mention").alias("_subj_mention"),
-                       F.col("canon_uri").alias("_subj_canon")))
-    obj_alias = F.broadcast(
-        aliases.select(F.col("mention").alias("_obj_mention"),
-                       F.col("canon_uri").alias("_obj_canon")))
+
+    ``broadcast=True`` (default) forces broadcast hash joins — the alias
+    dictionary is dimension-table sized and the triples side must not
+    shuffle. Pass False when the dictionary outgrows executor memory
+    (hundreds of millions of mentions): the joins become shuffle joins
+    on the mention key, which AQE will still convert back to broadcast
+    if runtime statistics allow."""
+    def _side(prefix):
+        side = aliases.select(
+            F.col("mention").alias(f"_{prefix}_mention"),
+            F.col("canon_uri").alias(f"_{prefix}_canon"))
+        return F.broadcast(side) if broadcast else side
+
+    subj_alias = _side("subj")
+    obj_alias = _side("obj")
     out = (
         triples
         .join(subj_alias, triples.subj == subj_alias._subj_mention, "left")
