@@ -180,14 +180,45 @@ def sign_jsonld(
                    already_expanded=True)
 
 
+def _unwrap_proof(proof_entry: Any) -> Dict[str, Any]:
+    proof = proof_entry.get("@graph", [proof_entry])
+    return dict(proof[0]) if isinstance(proof, list) else dict(proof)
+
+
+def _verify_single_proof(node: Dict[str, Any], proof_entry: Any,
+                         public_key_pem: str, ctxs) -> bool:
+    """Verify ONE proof of an expanded node against one key: detach its
+    signatureValue, re-attach the proof alone, canonicalize, RSA verify
+    (verify-proof, ld-sigs.rkt:245-263). The canonicalized form carries
+    only THIS proof, matching what sign_jsonld signed."""
+    proof = _unwrap_proof(proof_entry)
+    # unknown suite types are an error in the reference
+    # (ld-sigs.rkt:778-780); we reject them rather than verifying a
+    # proof under the wrong algorithm
+    if proof.get("@type") not in ([SUITE_URI], SUITE_URI):
+        return False
+    sig_entries = proof.pop(SEC_SIGNATURE_VALUE, None)
+    if not sig_entries:
+        return False
+    try:
+        sig = base64.b64decode(sig_entries[0]["@value"], validate=True)
+    except (Exception,):  # malformed b64 / non-string @value
+        return False
+    check_node = dict(node)
+    check_node[SEC_PROOF] = [proof]
+    tbs = _canonicalize([check_node], ctxs)
+    return _rsa_verify(public_key_pem, sig, tbs.encode("utf-8"))
+
+
 def verify_jsonld(
     signed_document: Dict[str, Any],
     public_key_pem: str,
     *,
     remote_contexts: Optional[Dict[str, Any]] = None,
 ) -> bool:
-    """Verify: expand -> detach signatureValue from the proof ->
-    canonicalize -> RSA verify (verify-proof, ld-sigs.rkt:245-263)."""
+    """Verify every proof against the given key (the single-key entry,
+    lds-verify-jsonld ld-sigs.rkt:727-824). Multi-key documents belong in
+    verify_jsonld_resolving, which fetches each proof's own key."""
     ctxs = default_contexts(remote_contexts)
     expanded = expand(signed_document, remote_contexts=ctxs)
     if len(expanded) != 1:
@@ -196,27 +227,8 @@ def verify_jsonld(
     proofs = node.get(SEC_PROOF)
     if not proofs:
         return False
-    ok = True
-    for proof_entry in proofs:
-        proof = proof_entry.get("@graph", [proof_entry])
-        proof = dict(proof[0]) if isinstance(proof, list) else dict(proof)
-        # unknown suite types are an error in the reference
-        # (ld-sigs.rkt:778-780); we reject them rather than verifying a
-        # proof under the wrong algorithm
-        if proof.get("@type") not in ([SUITE_URI], SUITE_URI):
-            return False
-        sig_entries = proof.pop(SEC_SIGNATURE_VALUE, None)
-        if not sig_entries:
-            return False
-        try:
-            sig = base64.b64decode(sig_entries[0]["@value"], validate=True)
-        except (Exception,):  # malformed b64 / non-string @value
-            return False
-        check_node = dict(node)
-        check_node[SEC_PROOF] = [proof]
-        tbs = _canonicalize([check_node], ctxs)
-        ok = ok and _rsa_verify(public_key_pem, sig, tbs.encode("utf-8"))
-    return ok
+    return all(_verify_single_proof(node, p, public_key_pem, ctxs)
+               for p in proofs)
 
 
 def verify_jsonld_resolving(
@@ -230,7 +242,12 @@ def verify_jsonld_resolving(
     dc:creator through a document loader (sources/remote_doc.py — pinned
     map offline, HTTP on a driver with network), expand the key document
     with the security context, and verify against its sec:publicKeyPem.
-    Returns False on any resolution failure rather than raising."""
+    Returns False on any resolution failure rather than raising.
+
+    Each proof is verified individually against ITS OWN creator's key —
+    a document carrying valid proofs from two different keys verifies
+    (round-2 ADVICE: the old path re-ran the all-proofs check per key,
+    so multi-key documents always failed)."""
     ctxs = default_contexts(remote_contexts)
     try:
         expanded = expand(signed_document, remote_contexts=ctxs)
@@ -238,10 +255,10 @@ def verify_jsonld_resolving(
         return False
     if len(expanded) != 1:
         return False
-    proofs = expanded[0].get(SEC_PROOF) or []
+    node = dict(expanded[0])
+    proofs = node.get(SEC_PROOF) or []
     for proof_entry in proofs:
-        proof = proof_entry.get("@graph", [proof_entry])
-        proof = proof[0] if isinstance(proof, list) else proof
+        proof = _unwrap_proof(proof_entry)
         creators = proof.get(DC_CREATOR) or []
         if not creators or "@id" not in creators[0]:
             return False
@@ -252,8 +269,7 @@ def verify_jsonld_resolving(
             pem = pem_entries[0]["@value"]
         except Exception:
             return False
-        if not verify_jsonld(signed_document, pem,
-                             remote_contexts=remote_contexts):
+        if not _verify_single_proof(node, proof_entry, pem, ctxs):
             return False
     return bool(proofs)
 

@@ -160,3 +160,44 @@ def test_verify_resolving_key_by_creator_iri(keys):
 
     missing = PinnedDocumentLoader({})
     assert not verify_jsonld_resolving(signed, missing)  # 404 -> False
+
+
+def test_verify_resolving_multi_key_document(keys):
+    """Round-2 ADVICE: a document carrying two valid proofs from two
+    DIFFERENT keys must verify — each proof is checked against its own
+    creator's key, not the whole proof set against every key."""
+    from racket_linkeddata_spark.core.ld_sigs import (
+        SEC_PROOF, default_contexts, verify_jsonld_resolving)
+    from racket_linkeddata_spark.core.expand import expand
+    from racket_linkeddata_spark.sources.remote_doc import (
+        PinnedDocumentLoader, PinnedEntry)
+
+    (priv_a, pub_a), (priv_b, pub_b) = keys
+    iri_a = "https://example.com/keys/alice#main"
+    iri_b = "https://example.com/keys/bob#main"
+
+    signed_a = sign_jsonld(LADY_GAGA_CONCERT, priv_a, creator=iri_a,
+                           created="2024-01-01T00:00:00Z")
+    signed_b = sign_jsonld(LADY_GAGA_CONCERT, priv_b, creator=iri_b,
+                           created="2024-01-01T00:00:00Z")
+    ctxs = default_contexts(None)
+    node_a = expand(signed_a, remote_contexts=ctxs)[0]
+    node_b = expand(signed_b, remote_contexts=ctxs)[0]
+    merged = dict(node_a)
+    merged[SEC_PROOF] = list(node_a[SEC_PROOF]) + list(node_b[SEC_PROOF])
+
+    def key_doc(iri, pem):
+        return PinnedEntry(
+            document={"@context": "https://w3id.org/security/v1",
+                      "@id": iri, "@type": "CryptographicKey",
+                      "publicKeyPem": pem},
+            content_type="application/ld+json")
+
+    loader = PinnedDocumentLoader({iri_a: key_doc(iri_a, pub_a),
+                                   iri_b: key_doc(iri_b, pub_b)})
+    assert verify_jsonld_resolving(merged, loader)
+
+    # swapping the two keys must fail both proofs
+    swapped = PinnedDocumentLoader({iri_a: key_doc(iri_a, pub_b),
+                                    iri_b: key_doc(iri_b, pub_a)})
+    assert not verify_jsonld_resolving(merged, swapped)
