@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """spark-submit entry point for the KG-construction pipeline.
 
-    spark-submit --py-files rls.zip jobs/kg_job.py \
+    spark-submit --driver-memory 8g --py-files rls.zip jobs/kg_job.py \
         --pages <pages parquet/Iceberg path> --out <output dir> \
         [--staging <staging path>] [--resume] [--n-synth 10000]
 
@@ -36,15 +36,14 @@ def main():
     # 10000-row batches x 32 concurrent tasks exhaust the JVM's direct
     # memory arena (reproduced at 1.2M pages: netty OutOfDirectMemoryError
     # at the 1 GiB default). 2048-row batches keep per-task buffers a few
-    # MB regardless of page size. driver.memory only takes effect when
-    # launched as a plain python process (JVM not yet started); under
-    # spark-submit the submit-time value wins.
+    # MB regardless of page size. driver.memory is NOT set here — it is
+    # ineffective once the JVM is up under spark-submit; pass
+    # --driver-memory 8g on the submit command line instead.
     spark = (SparkSession.builder.appName("kg-construct")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.files.openCostInBytes",
                      str(128 * 1024 * 1024))
-             .config("spark.driver.memory", "8g")
              .getOrCreate())
     from racket_linkeddata_spark.plans.kg import build_kg, materialize
     from racket_linkeddata_spark.sources.pages import synthesize_pages
@@ -59,6 +58,11 @@ def main():
     processed_log = None
     snapshot_id = 0
     if args.resume:
+        # page_log and lineage are read in SEPARATE try blocks: if
+        # page_log exists but lineage is missing/corrupt (crash between
+        # materialize's two writes), falling back to overwrite would
+        # destroy every prior snapshot on a --resume invocation. Abort
+        # instead and let the operator decide.
         try:
             # pin the prior log eagerly: this job appends to
             # <out>/page_log later, and a lazily-read directory listing
@@ -66,11 +70,20 @@ def main():
             # stage recomputes the resume anti-join
             processed_log = spark.read.parquet(
                 f"{args.out}/page_log").localCheckpoint(eager=True)
-            prior = spark.read.parquet(f"{args.out}/lineage") \
-                .agg({"snapshot_id": "max"}).collect()[0][0]
-            snapshot_id = (prior if prior is not None else -1) + 1
         except Exception:
-            processed_log = None  # first run
+            processed_log = None  # first run: nothing to resume from
+        if processed_log is not None:
+            try:
+                prior = spark.read.parquet(f"{args.out}/lineage") \
+                    .agg({"snapshot_id": "max"}).collect()[0][0]
+                snapshot_id = (prior if prior is not None else -1) + 1
+            except Exception:
+                raise SystemExit(
+                    f"--resume: {args.out}/page_log exists but "
+                    f"{args.out}/lineage is unreadable — refusing to "
+                    "fall back to overwrite (it would destroy prior "
+                    "snapshots). Repair/remove the output dir or rerun "
+                    "without --resume to rebuild from scratch.")
 
     kg = build_kg(pages, processed_log=processed_log,
                   staging_path=args.staging, snapshot_id=snapshot_id)

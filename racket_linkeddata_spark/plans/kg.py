@@ -177,6 +177,38 @@ def materialize(kg: KgResult, out_dir: str, buckets: int = 64,
     kg.lineage.write.mode(mode).parquet(f"{out_dir}/lineage")
 
 
+def _recover_compaction(out_dir: str, table: str) -> None:
+    """Crash recovery for compact_snapshots' non-atomic directory swap
+    (two renames can't be one syscall without renameat2): roll the swap
+    forward or back so readers always see a complete table.
+
+    States after a crash (write tmp -> move path->old -> move tmp->path
+    -> delete old; each move IS atomic — same-filesystem rename):
+    - path present, tmp present:  crashed before the swap started (tmp
+      may be partial) -> discard tmp;
+    - path present, old present:  crashed before the final cleanup ->
+      discard old;
+    - path absent, tmp present:   crashed between the two moves (tmp is
+      complete — the swap only starts after the rewrite succeeded) ->
+      roll FORWARD: move tmp into place, discard old;
+    - path absent, only old:      roll BACK: restore old.
+    """
+    import os
+    import shutil
+
+    path = f"{out_dir}/{table}"
+    tmp = f"{out_dir}/{table}__compacting"
+    old = f"{out_dir}/{table}__old"
+    if os.path.exists(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(tmp):
+        shutil.move(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        shutil.move(old, path)
+
+
 def read_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merged edges view across snapshots: same triple key appearing in
     several resume snapshots re-aggregates (sum n_sources) — the read
@@ -184,12 +216,14 @@ def read_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     through the aggregate unchanged."""
     from ..operators.dedup import TRIPLE_KEY
 
+    _recover_compaction(out_dir, "edges")
     e = spark.read.parquet(f"{out_dir}/edges")
     return (e.groupBy(*TRIPLE_KEY, "bucket")
             .agg(F.sum("n_sources").cast("bigint").alias("n_sources")))
 
 
 def read_nodes(spark: SparkSession, out_dir: str) -> DataFrame:
+    _recover_compaction(out_dir, "nodes")
     n = spark.read.parquet(f"{out_dir}/nodes")
     return (n.groupBy("canon_uri", "kind", "bucket")
             .agg(F.sum("n_mentions").cast("bigint").alias("n_mentions")))
@@ -200,12 +234,24 @@ def compact_snapshots(spark: SparkSession, out_dir: str) -> None:
     Iceberg's rewriteDataFiles/MERGE maintenance pass. Resume appends
     are cheap but each adds a snapshot partition the merged read view
     re-aggregates over; periodic compaction bounds that read
-    amplification. The rewrite goes through a temp dir + atomic rename
-    so a crash mid-compaction leaves the original table intact (Iceberg
-    gets this from snapshot isolation; here it's the filesystem swap)."""
+    amplification.
+
+    Crash safety: the rewrite lands in a temp dir first, then swaps in
+    via two same-filesystem renames. The swap itself is NOT one atomic
+    step (plain filesystems lack an atomic directory exchange; Iceberg
+    gets this from snapshot isolation) — a crash between the two renames
+    leaves the live path briefly absent — but every entry point
+    (compact_snapshots / read_edges / read_nodes) first runs
+    _recover_compaction, which rolls a half-finished swap forward (tmp
+    is complete by construction) or back, so no state is ever lost and
+    the next reader self-heals. A CONCURRENT reader racing the swap on
+    the same filesystem can still observe the path missing for the
+    instant between renames — single-writer/single-reader is the
+    stand-in's contract; Iceberg removes that caveat too."""
     import shutil
 
     for table, reader in (("edges", read_edges), ("nodes", read_nodes)):
+        _recover_compaction(out_dir, table)
         path = f"{out_dir}/{table}"
         tmp = f"{out_dir}/{table}__compacting"
         (reader(spark, out_dir).withColumn("snap", F.lit(0).cast("int"))

@@ -99,3 +99,48 @@ def test_compact_snapshots_folds_to_single_snapshot(spark, tmp_path):
         f"{out}/page_log"), persist=False, snapshot_id=1)
     materialize(kg3, out, buckets=4, mode="append")
     assert read_edges(spark, out).count() >= len(before)
+
+
+def test_compaction_crash_recovery_all_states(spark, tmp_path):
+    """Round-2 ADVICE: the compaction swap is two renames, not one atomic
+    step — every crash state must self-heal via _recover_compaction so
+    readers never see a missing table and no data is lost."""
+    import shutil
+
+    from racket_linkeddata_spark.plans.kg import (
+        _recover_compaction, compact_snapshots)
+
+    pages = synthesize_pages(spark, 40, partitions=4).cache()
+    out = str(tmp_path / "kg")
+    materialize(build_kg(pages, persist=False, snapshot_id=0), out, buckets=4)
+    want = {tuple(r) for r in read_edges(spark, out).collect()}
+
+    path, tmp, old = (f"{out}/edges", f"{out}/edges__compacting",
+                      f"{out}/edges__old")
+
+    # state 1: crash before the swap started (tmp possibly partial)
+    shutil.copytree(path, tmp)
+    shutil.rmtree(f"{tmp}/snap=0")  # make it visibly partial
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == want
+    assert not __import__("os").path.exists(tmp)
+
+    # state 2: crash between the two renames (path absent, tmp complete)
+    shutil.copytree(path, tmp)
+    shutil.move(path, old)
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == want
+    import os
+    assert os.path.exists(path) and not os.path.exists(old)
+
+    # state 3: crash before the final cleanup (path present, old present)
+    shutil.copytree(path, old)
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == want
+    assert not os.path.exists(old)
+
+    # state 4: only old left (rolled back)
+    shutil.move(path, old)
+    _recover_compaction(out, "edges")
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == want
+
+    # and a real compaction still works end-to-end after all that
+    compact_snapshots(spark, out)
+    assert {tuple(r) for r in read_edges(spark, out).collect()} == want
