@@ -154,6 +154,117 @@ FROM ok a JOIN ok b
 """
 
 
+def _srp_planes_values(dim: int = 64, n: int = 64) -> str:
+    """The SRP hyperplanes as a DuckDB VALUES CTE. _hyperplanes is a
+    deterministic seeded-xorshift stream (no RNG state), so emitting the
+    exact float64 values via repr() (shortest round-trip form — DuckDB
+    parses back the identical double) makes the LSH bucketing fully
+    SQL-reproducible: both LSH queries consume the SAME 64-plane stream,
+    split 8 tables x 8 planes (dedup) or 16 tables x 4 planes (topk).
+    dim=64 matches the testdata embedding width the driver checks at
+    sf0.01 (the Spark UDF derives the same planes from the observed
+    dim). Caveat: sign(dot) near 0 could in principle differ between
+    numpy's blocked summation and DuckDB's sequential list_inner_product
+    (~1e-13 relative error window) — verified exact on the full corpus
+    for both configurations."""
+    from racket_linkeddata_spark.operators.similarity import _hyperplanes
+
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in v))
+        for i, v in enumerate(_hyperplanes(dim, n)))
+    return f"planes(idx, w) AS (VALUES {rows})"
+
+
+def _oracle_embedding_lsh(n_planes: int = 8, n_tables: int = 8,
+                          max_bucket: int = 256,
+                          threshold: float = 0.4) -> str:
+    """DuckDB replica of similarity.embedding_near_dup_lsh: SRP sign
+    buckets -> capped (tbl, bucket) groups -> distinct candidate pairs ->
+    exact-cosine verify."""
+    cos = ("round(list_inner_product(a.v, b2.v) / "
+           "(sqrt(list_inner_product(a.v, a.v)) * "
+           "sqrt(list_inner_product(b2.v, b2.v))), 4)")
+    return f"""
+        WITH {_srp_planes_values()},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        b AS (SELECT vec_id, idx // {n_planes} AS tbl,
+                     sum(CASE WHEN list_inner_product(v, w) >= 0
+                              THEN 1 << (idx % {n_planes}) ELSE 0 END)
+                       AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+        sized AS (SELECT tbl, bucket, count(*) AS c FROM b
+                  GROUP BY tbl, bucket),
+        ok AS (SELECT b.* FROM b JOIN sized USING (tbl, bucket)
+               WHERE c BETWEEN 2 AND {max_bucket}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM ok x JOIN ok y
+                   ON x.tbl = y.tbl AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, {cos} AS cos_sim
+        FROM cand JOIN e a ON a.vec_id = id_a
+                  JOIN e b2 ON b2.vec_id = id_b
+        WHERE {cos} >= {threshold}"""
+
+
+def _oracle_lsh_topk(n_planes: int = 4, n_tables: int = 16,
+                     k: int = 5) -> str:
+    """DuckDB replica of similarity.lsh_topk: a corpus item is a
+    candidate when it shares the query's bucket in ANY table; exact
+    cosine + row_number top-k over candidates."""
+    cos = ("round(list_inner_product(qe.v, ce.v) / "
+           "(sqrt(list_inner_product(qe.v, qe.v)) * "
+           "sqrt(list_inner_product(ce.v, ce.v))), 4)")
+    return f"""
+        WITH {_srp_planes_values()},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        b AS (SELECT vec_id, idx // {n_planes} AS tbl,
+                     sum(CASE WHEN list_inner_product(v, w) >= 0
+                              THEN 1 << (idx % {n_planes}) ELSE 0 END)
+                       AS bucket
+              FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS item_id
+                 FROM b q JOIN b c
+                   ON q.tbl = c.tbl AND q.bucket = c.bucket
+                 WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
+        scored AS (SELECT query_id, item_id, {cos} AS cos_sim
+                   FROM cand JOIN e qe ON qe.vec_id = query_id
+                             JOIN e ce ON ce.vec_id = item_id)
+        SELECT query_id, item_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, item_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}"""
+
+
+# DuckDB replica of multimodal._fake_decode's checksum: an FNV-style
+# fold over the payload bytes sampled at stride max(1, n//64) —
+# expressed as list_reduce over the sampled byte positions in HUGEINT
+# (the 64-bit product would overflow BIGINT, which DuckDB makes an
+# error). Payloads are the utf-8 text bytes and the corpus is pure
+# ASCII (strlen == length verified), so ord(substring(...)) IS the
+# byte value.
+_ORACLE_MULTIMODAL_FEATURES = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             text FROM documents)
+    SELECT media_id, kind, strlen(text)::INT AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(
+                   range(0, strlen(text), greatest(strlen(text) // 64, 1)),
+                   i -> ord(substring(text, (i + 1)::INT, 1))::HUGEINT)),
+               (acc, x) -> (acc * 1099511628211 + x) % 9223372036854775808
+             )::BIGINT
+           END AS checksum
+    FROM m"""
+
+
 # --- query implementations -------------------------------------------------
 
 def q_kg_triples(spark, sf_dir):
@@ -298,9 +409,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 def q_dedup_embedding_lsh(spark, sf_dir):
     """SRP-LSH-bucketed embedding near-dup (candidates from sign-random-
-    projection buckets, exact cosine verification pass). Deterministic
-    but not SQL-expressible (SRP planes) — rows-only check; recall vs
-    the exact query is pinned in tests/test_similarity_quality.py."""
+    projection buckets, exact cosine verification pass). Fully
+    oracle-checked: the deterministic SRP planes are emitted as float64
+    literals into the DuckDB replica (_oracle_embedding_lsh); recall vs
+    the exact query is additionally pinned in
+    tests/test_similarity_quality.py."""
     from racket_linkeddata_spark.operators.similarity import (
         embedding_near_dup_lsh)
 
@@ -646,24 +759,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "dedup_simhash": """
             -- exact replica of operators/textstats.simhash: per-word
-            -- 60-bit md5-prefix hashes, per-bit majority vote
+            -- 60-bit md5-prefix hashes, per-bit majority vote; empty/None
+            -- text tokenizes to ZERO tokens -> signature 0 (the Spark
+            -- side skips extending the token list for falsy text)
             WITH h AS (
               SELECT doc_id,
+                     (text IS NULL OR text = '') AS is_empty,
                      list_transform(string_split(text, ' '),
                         w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs,
                      len(string_split(text, ' ')) AS nw
               FROM documents),
             v AS (
-              SELECT doc_id, nw,
+              SELECT doc_id, nw, is_empty,
                      list_transform(range(0, 60),
                         i -> list_sum(list_transform(hs,
                                x -> (x >> i) & 1))) AS votes
               FROM h)
             SELECT doc_id,
-                   coalesce(list_sum(list_transform(range(0, 60),
-                     i -> CASE WHEN votes[i+1]*2 > nw
-                               THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
-                     0)::BIGINT AS simhash
+                   CASE WHEN is_empty THEN 0::BIGINT ELSE
+                     coalesce(list_sum(list_transform(range(0, 60),
+                       i -> CASE WHEN votes[i+1]*2 > nw
+                                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+                       0)::BIGINT END AS simhash
             FROM v""",
         "ann_brute_topk": """
             -- deterministic: 4-decimal rounded cosine, item_id tie-break
@@ -703,12 +820,13 @@ def oracle_sql() -> dict[str, str]:
                    length(substring(text, frame_idx::INT * 16 + 1, 16))::INT
                      AS n_frame_bytes
             FROM f""",
-        # ann_lsh_topk / dedup_embedding_lsh / multimodal_features: no
-        # oracle — SRP hyperplane bucketing and the fake decode's binary
-        # checksum aren't DuckDB-expressible; the driver's rows-only
-        # check applies (their exact-verification counterparts
-        # ann_cosine_threshold / ann_brute_topk / dedup_embedding_cosine
-        # / multimodal_frames ARE oracle-checked above)
+        # round-3: the last three rows-only queries now have full
+        # oracles — the SRP planes are a deterministic xorshift stream
+        # emitted as float64 VALUES literals, and the fake-decode
+        # checksum is a list_reduce fold in HUGEINT
+        "dedup_embedding_lsh": _oracle_embedding_lsh(),
+        "ann_lsh_topk": _oracle_lsh_topk(),
+        "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
