@@ -28,9 +28,14 @@ OUT_SCHEMA = "doc_id bigint, out string, error string"
 def _lift(transform):
     def op(docs: DataFrame, *args, id_col: str = "doc_id",
            json_col: str = "doc", contexts: Optional[Dict[str, Any]] = None,
-           base_col: Optional[str] = None, **kwargs) -> DataFrame:
+           base_col: Optional[str] = None,
+           param_col: Optional[str] = None, param_kw: str = "context",
+           **kwargs) -> DataFrame:
         """``base_col``: per-row base IRI column (web pages each carry
-        their own base); overrides any constant ``base`` kwarg."""
+        their own base); overrides any constant ``base`` kwarg.
+        ``param_col``: per-row JSON parameter column, parsed and passed
+        as the ``param_kw`` kwarg (e.g. a per-document compaction
+        context or frame); overrides any constant value of that kwarg."""
         from .util import ensure_parallelism
 
         def fn(batches):
@@ -38,12 +43,18 @@ def _lift(transform):
                 ids, outs, errs = [], [], []
                 bases = (pdf[base_col].tolist() if base_col
                          else [None] * len(pdf))
-                for i, txt, b in zip(pdf[id_col].tolist(),
-                                     pdf[json_col].tolist(), bases):
+                params = (pdf[param_col].tolist() if param_col
+                          else [None] * len(pdf))
+                for i, txt, b, prm in zip(pdf[id_col].tolist(),
+                                          pdf[json_col].tolist(), bases,
+                                          params):
                     ids.append(i)
-                    kw = kwargs if base_col is None else {**kwargs,
-                                                          "base": b}
+                    kw = dict(kwargs)
+                    if base_col is not None:
+                        kw["base"] = b
                     try:
+                        if param_col is not None:
+                            kw[param_kw] = json.loads(prm)
                         doc = json.loads(txt)
                         outs.append(transform(doc, contexts, *args, **kw))
                         errs.append(None)
@@ -54,7 +65,8 @@ def _lift(transform):
                 yield pd.DataFrame(
                     {"doc_id": ids, "out": outs, "error": errs})
 
-        cols = [id_col, json_col] + ([base_col] if base_col else [])
+        cols = ([id_col, json_col] + ([base_col] if base_col else [])
+                + ([param_col] if param_col else []))
         pruned = ensure_parallelism(docs.select(*cols))
         return pruned.mapInPandas(fn, schema=OUT_SCHEMA)
 
@@ -67,8 +79,10 @@ expand_documents = _lift(
                 remote_contexts=ctxs), sort_keys=True))
 
 compact_documents = _lift(
-    lambda doc, ctxs, context=None, base=None: json.dumps(
-        _compact(doc, context, base=base, remote_contexts=ctxs),
+    lambda doc, ctxs, context=None, base=None,
+    compact_arrays=True: json.dumps(
+        _compact(doc, context, base=base, compact_arrays=compact_arrays,
+                 remote_contexts=ctxs),
         sort_keys=True))
 
 flatten_documents = _lift(
@@ -83,12 +97,14 @@ normalize_documents = _lift(
         _to_rdf(doc, base=base, remote_contexts=ctxs), mode=mode))
 
 
-def _from_rdf_text(nq_text, ctxs, use_native_types=False):
+def _from_rdf_text(nq_text, ctxs, use_native_types=False,
+                   use_rdf_type=False):
     from ..core.from_rdf import from_rdf
     from ..core.nquads import parse
 
     return json.dumps(from_rdf(parse(nq_text),
-                               use_native_types=use_native_types),
+                               use_native_types=use_native_types,
+                               use_rdf_type=use_rdf_type),
                       sort_keys=True)
 
 
@@ -96,7 +112,8 @@ def _from_rdf_text(nq_text, ctxs, use_native_types=False):
 # input column is raw N-Quads, not JSON — bypass _lift's json.loads.
 def from_rdf_documents(docs: DataFrame, *, id_col: str = "doc_id",
                        nquads_col: str = "nquads",
-                       use_native_types: bool = False) -> DataFrame:
+                       use_native_types: bool = False,
+                       use_rdf_type: bool = False) -> DataFrame:
     from ..core.nquads import NQuadsParseError
     from .util import ensure_parallelism
 
@@ -107,7 +124,8 @@ def from_rdf_documents(docs: DataFrame, *, id_col: str = "doc_id",
                               pdf[nquads_col].tolist()):
                 ids.append(i)
                 try:
-                    outs.append(_from_rdf_text(txt, None, use_native_types))
+                    outs.append(_from_rdf_text(txt, None, use_native_types,
+                                               use_rdf_type))
                     errs.append(None)
                 except (NQuadsParseError, ValueError) as e:
                     outs.append(None)
@@ -118,10 +136,10 @@ def from_rdf_documents(docs: DataFrame, *, id_col: str = "doc_id",
     return pruned.mapInPandas(fn, schema=OUT_SCHEMA)
 
 
-def _frame_doc(doc, ctxs, frame=None):
+def _frame_doc(doc, ctxs, frame=None, base=None):
     from ..core.frame import frame as _frame
 
-    return json.dumps(_frame(doc, frame, remote_contexts=ctxs),
+    return json.dumps(_frame(doc, frame, base=base, remote_contexts=ctxs),
                       sort_keys=True)
 
 

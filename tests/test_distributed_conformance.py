@@ -121,3 +121,95 @@ def test_tordf_normalize_suite_distributed(spark):
                 for i in expected
                 if got[i][1] is not None or got[i][0] != expected[i]]
     assert not failures, f"{len(failures)} mismatches: {failures[:5]}"
+
+
+def test_compact_suite_distributed(spark):
+    """All compact vectors through compact_documents with PER-ROW
+    contexts (param_col): one DataFrame call per compactArrays value
+    (an option, not data). Closes the round-2 gap: compact was green
+    pure-Python only."""
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        compact_documents)
+
+    cases = manifest_cases("compact")
+    groups = {}  # compact_arrays -> rows
+    expected = {}
+    for i, case in enumerate(cases):
+        doc = load_json(case["input"])
+        ctx = load_json(case["context"])
+        ca = case.get("option", {}).get("compactArrays", True)
+        groups.setdefault(ca, []).append(
+            (i, json.dumps(doc), case_base(case), json.dumps(ctx)))
+        expected[i] = load_json(case["expect"])
+
+    got = {}
+    for ca, rows in groups.items():
+        df = spark.createDataFrame(
+            rows, "doc_id long, doc string, base string, ctx string")
+        got.update({r.doc_id: (r.out, r.error)
+                    for r in compact_documents(
+                        df, contexts=LOADER, base_col="base",
+                        param_col="ctx", param_kw="context",
+                        compact_arrays=ca).collect()})
+    assert len(got) == len(cases)
+    failures = [(cases[i]["@id"], got[i][1]) for i in expected
+                if got[i][1] is not None
+                or json.loads(got[i][0]) != expected[i]]
+    assert not failures, f"{len(failures)} mismatches: {failures[:5]}"
+
+
+def test_fromrdf_suite_distributed(spark):
+    """All fromRdf vectors through from_rdf_documents, grouped by the
+    (useNativeTypes, useRdfType) option pair."""
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        from_rdf_documents)
+    from tests.suite_utils import load_text
+
+    cases = manifest_cases("fromRdf")
+    groups = {}
+    expected = {}
+    for i, case in enumerate(cases):
+        option = case.get("option", {})
+        key = (option.get("useNativeTypes", False),
+               option.get("useRdfType", False))
+        groups.setdefault(key, []).append((i, load_text(case["input"])))
+        expected[i] = load_json(case["expect"])
+
+    got = {}
+    for (unt, urt), rows in groups.items():
+        df = spark.createDataFrame(rows, "doc_id long, nquads string")
+        got.update({r.doc_id: (r.out, r.error)
+                    for r in from_rdf_documents(
+                        df, use_native_types=unt,
+                        use_rdf_type=urt).collect()})
+    assert len(got) == len(cases)
+    failures = [(cases[i]["@id"], got[i][1]) for i in expected
+                if got[i][1] is not None
+                or json.loads(got[i][0]) != expected[i]]
+    assert not failures, f"{len(failures)} mismatches: {failures[:5]}"
+
+
+def test_frame_suite_distributed(spark):
+    """All frame vectors through frame_documents with PER-ROW frames
+    (param_col)."""
+    from racket_linkeddata_spark.operators.jsonld_ops import frame_documents
+
+    cases = manifest_cases("frame")
+    rows, expected = [], {}
+    for i, case in enumerate(cases):
+        rows.append((i, json.dumps(load_json(case["input"])),
+                     case_base(case),
+                     json.dumps(load_json(case["frame"]))))
+        expected[i] = load_json(case["expect"])
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, doc string, base string, fr string")
+    got = {r.doc_id: (r.out, r.error)
+           for r in frame_documents(df, contexts=LOADER, base_col="base",
+                                    param_col="fr",
+                                    param_kw="frame").collect()}
+    assert len(got) == len(cases)
+    failures = [(cases[i]["@id"], got[i][1]) for i in expected
+                if got[i][1] is not None
+                or json.loads(got[i][0]) != expected[i]]
+    assert not failures, f"{len(failures)} mismatches: {failures[:5]}"
