@@ -38,12 +38,25 @@ def is_keyword(value: Any) -> bool:
 
 
 _ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+_ABS_MEMO: dict = {}
+_ABS_MEMO_CAP = 65536  # bounded: vocab terms/predicates repeat across
+# millions of docs, but unique per-doc subjects must not grow it forever
 
 
 def is_absolute_iri(value: Any) -> bool:
-    """Has a scheme and is not a blank-node id (json-ld.rkt:179-193)."""
-    return (isinstance(value, str) and not value.startswith("_:")
-            and bool(_ABS_IRI_RE.match(value)))
+    """Has a scheme and is not a blank-node id (json-ld.rkt:179-193).
+    Memoized (bounded): called per predicate/subject per quad in the
+    node-map→RDF hot path, and the regex dominates the check."""
+    if value.__class__ is not str:
+        return isinstance(value, str) and not value.startswith("_:") \
+            and bool(_ABS_IRI_RE.match(value))
+    r = _ABS_MEMO.get(value)
+    if r is None:
+        r = (not value.startswith("_:")
+             and _ABS_IRI_RE.match(value) is not None)
+        if len(_ABS_MEMO) < _ABS_MEMO_CAP:
+            _ABS_MEMO[value] = r
+    return r
 
 
 def is_blank_node_id(value: Any) -> bool:

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional
 
 from .context import (
+    KEYWORDS as _KEYWORDS,
     ActiveContext,
     JsonLdError,
     expand_iri,
@@ -75,15 +76,17 @@ def expand_element(
     if element is None:
         return None
 
-    if not isinstance(element, (dict, list)):  # scalar
-        if active_prop is None or active_prop == "@graph":
-            return None
-        return value_expansion(active, active_prop, element)
+    ec = element.__class__
+    if ec is not dict and ec is not list:
+        if not isinstance(element, (dict, list)):  # scalar
+            if active_prop is None or active_prop == "@graph":
+                return None
+            return value_expansion(active, active_prop, element)
 
-    prop_term = active.term(active_prop) if active_prop else None
-    prop_container = prop_term.get("@container") if prop_term else None
-
-    if isinstance(element, list):
+    if ec is list or isinstance(element, list):
+        # container lookup only matters for the list-of-lists guard
+        prop_term = active.term(active_prop) if active_prop else None
+        prop_container = prop_term.get("@container") if prop_term else None
         result: List[Any] = []
         for item in element:
             expanded = expand_element(active, active_prop, item,
@@ -117,11 +120,15 @@ def expand_element(
             else:
                 result_obj[expanded_property] = value
             continue
-        if expanded_property is None or not (
-                ":" in expanded_property or is_keyword(expanded_property)):
+        if expanded_property is None:
+            continue
+        # one membership test instead of two is_keyword() calls
+        # (expanded_property is always a str here)
+        is_kw = expanded_property in _KEYWORDS
+        if not (is_kw or ":" in expanded_property):
             continue
 
-        if is_keyword(expanded_property):
+        if is_kw:
             if active_prop == "@reverse":
                 raise JsonLdError("invalid reverse property map", key)
             if expanded_property in result_obj:

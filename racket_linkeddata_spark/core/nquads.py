@@ -173,6 +173,20 @@ def _bnode_label_ok(label: str) -> bool:
 
 def _serialize_term(term: Term, position: str, *,
                     generalized: bool = False) -> str:
+    # plain-str (IRI / bnode) first: it's ~80% of calls in the pipeline
+    # hot path, and Literal (a tuple subclass) costs more to type-check
+    if term.__class__ is str:
+        if term.startswith('_:'):
+            if position == 'predicate' and not generalized:
+                raise NQuadsSerializeError(
+                    "blank node not allowed in predicate position (W3C "
+                    "N-Quads allows only IRIREF; pass generalized=True to "
+                    "emit generalized-RDF quads)")
+            if not _bnode_label_ok(term[2:]):
+                raise NQuadsSerializeError(
+                    f"invalid blank node label: {term[2:]!r}")
+            return term
+        return serialize_iri(term)
     if isinstance(term, Literal):
         if position in ('subject', 'predicate', 'graph'):
             raise NQuadsSerializeError(f"literal not allowed in {position}")
@@ -186,30 +200,20 @@ def _serialize_term(term: Term, position: str, *,
         if term.datatype and term.datatype != XSD_STRING:
             return out + '^^' + serialize_iri(term.datatype)
         return out
-    if term.startswith('_:'):
-        if position == 'predicate' and not generalized:
-            raise NQuadsSerializeError(
-                "blank node not allowed in predicate position (W3C N-Quads "
-                "allows only IRIREF; pass generalized=True to emit "
-                "generalized-RDF quads)")
-        if not _bnode_label_ok(term[2:]):
-            raise NQuadsSerializeError(
-                f"invalid blank node label: {term[2:]!r}")
-        return term
+    if term.startswith('_:'):  # str subclass fallback, same semantics
+        return _serialize_term(str(term), position, generalized=generalized)
     return serialize_iri(term)
 
 
 def serialize_quad(q: Quad, *, generalized: bool = False) -> str:
     """One statement, single-space separated, ' .' terminated
     (matches the reference's exact output, n-quads.rkt:512-528)."""
-    parts = [
-        _serialize_term(q.subj, 'subject'),
-        _serialize_term(q.pred, 'predicate', generalized=generalized),
-        _serialize_term(q.obj, 'object'),
-    ]
-    if q.graph is not None:
-        parts.append(_serialize_term(q.graph, 'graph'))
-    return ' '.join(parts) + ' .'
+    s = _serialize_term(q.subj, 'subject')
+    p = _serialize_term(q.pred, 'predicate', generalized=generalized)
+    o = _serialize_term(q.obj, 'object')
+    if q.graph is None:
+        return f'{s} {p} {o} .'
+    return f'{s} {p} {o} {_serialize_term(q.graph, "graph")} .'
 
 
 def serialize(quads: List[Quad], *, generalized: bool = False) -> str:

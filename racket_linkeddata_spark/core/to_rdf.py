@@ -56,12 +56,20 @@ def object_to_rdf(item: Dict[str, Any]) -> Optional[Term]:
 
     value = item["@value"]
     datatype = item.get("@type")
+    vt = value.__class__  # exact-type dispatch: JSON values are
+    # str/bool/int/float only, and bool must NOT fall into the int arm
+    # (json.loads never produces subclasses, so `is` checks are exact)
 
-    if isinstance(value, bool):
+    if vt is str and datatype != XSD_DOUBLE:
+        # the overwhelmingly common case on web corpora
+        if datatype is None:
+            datatype = (RDF_LANG_STRING if "@language" in item
+                        else XSD_STRING)
+        return Literal(value, datatype, item.get("@language"))
+    if vt is bool:
         value = "true" if value else "false"
         datatype = datatype or XSD_BOOLEAN
-    elif isinstance(value, float) or (isinstance(value, int)
-                                      and datatype == XSD_DOUBLE):
+    elif vt is float or (vt is int and datatype == XSD_DOUBLE):
         # Only NATIVE JSON numbers are canonicalized (spec §10.5 step 6;
         # json-ld.rkt:2636 guards on number?). A STRING @value with
         # @type xsd:double must pass through verbatim — canonicalizing
@@ -69,7 +77,7 @@ def object_to_rdf(item: Dict[str, Any]) -> Optional[Term]:
         # non-numeric string would raise and drop the whole document.
         value = canonical_double(float(value))
         datatype = datatype or XSD_DOUBLE
-    elif isinstance(value, int):
+    elif vt is int:
         value = str(value)
         datatype = datatype or XSD_INTEGER
     elif "@language" in item:

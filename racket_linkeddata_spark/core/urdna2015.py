@@ -62,7 +62,9 @@ class _State:
         self._tmpl: Dict[int, tuple] = {}
         for i, q in enumerate(quads):
             for component in (q.subj, q.obj, q.graph):
-                if _is_bnode(component):
+                # inlined _is_bnode: this triple-scan is the hot setup loop
+                if (component.__class__ is str
+                        and component.startswith("_:")):
                     self.blank_to_quads.setdefault(component, []).append(i)
 
     def _template(self, i: int) -> tuple:
@@ -138,9 +140,9 @@ class _State:
             return
         for component, position in (
                 (quad.subj, "s"), (quad.obj, "o"), (quad.graph, "g")):
-            if isinstance(component, Literal) or component is None:
-                continue
-            if _is_bnode(component) and component != identifier:
+            # Literal is not str, None is not str: one inlined check
+            if (component.__class__ is str and component.startswith("_:")
+                    and component != identifier):
                 yield component, position
 
     def hash_n_degree(self, identifier: str,
@@ -214,11 +216,17 @@ def _canonize(quads: List[Quad],
     # fast path: a bnode-free dataset needs no relabeling at all — just
     # serialize + sort. Common for web pages whose JSON-LD names every
     # node with @id; skips the whole hashing state machine (~10% of the
-    # per-document pipeline on such corpora).
-    if not any(_is_bnode(q.subj)
-               or (not isinstance(q.obj, Literal) and _is_bnode(q.obj))
-               or (q.graph is not None and _is_bnode(q.graph))
-               for q in quads):
+    # per-document pipeline on such corpora). Bnode checks inlined
+    # (the helper-call overhead is measurable at 3 checks/quad).
+    has_bnode = False
+    for q in quads:
+        s, o, g = q.subj, q.obj, q.graph
+        if (s.startswith("_:")
+                or (o.__class__ is str and o.startswith("_:"))
+                or (g is not None and g.startswith("_:"))):
+            has_bnode = True
+            break
+    if not has_bnode:
         return sorted(((serialize_quad(q), q) for q in quads),
                       key=lambda p: p[0])
 
@@ -251,15 +259,15 @@ def _canonize(quads: List[Quad],
                 state.canonical.issue(existing)
 
     # step 7: relabel + emit in canonical (sorted serialized line) order
-    def relabel(term):
-        if _is_bnode(term):
-            return state.canonical.issued[term]
-        return term
-
+    issued = state.canonical.issued
     out = [
-        Quad(relabel(q.subj), q.pred,
-             q.obj if isinstance(q.obj, Literal) else relabel(q.obj),
-             relabel(q.graph) if q.graph is not None else None)
+        Quad(issued[q.subj] if q.subj.startswith("_:") else q.subj,
+             q.pred,
+             (issued[q.obj] if (q.obj.__class__ is str
+                                and q.obj.startswith("_:")) else q.obj),
+             (issued[q.graph] if (q.graph is not None
+                                  and q.graph.startswith("_:"))
+              else q.graph))
         for q in quads
     ]
     paired = sorted(((serialize_quad(q), q) for q in out),
