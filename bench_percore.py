@@ -89,9 +89,12 @@ URDNA2015 -> triple rows, 5000 docs per rep. Regenerate:
 | simple (bnode-free; URDNA fast path) | {simple} |
 | complex (bnodes, lists, graphs, reverse) | {complex_} |
 
-Round-1 recorded ~5.1k docs/s on the simple shape; the round-2 gains
-are the URDNA2015 bnode-free fast path (simple shape) and assorted
-fixes with neutral cost (complex shape is the algorithm floor).
+History: round 1 ~5.1k docs/s (simple); round 2 added the URDNA2015
+bnode-free fast path (simple 14.8k) with the complex shape at 5.1k;
+round 3's serializer/dispatch micro-pass lifted both (simple +14%,
+complex +7%). The complex shape is near the algorithm floor — its
+remaining cost is the spec-mandated expansion/node-map/canonization
+recursion itself.
 """)
     print(json.dumps(out))
 
