@@ -75,10 +75,16 @@ levels interleaved round-robin, best-of runs per level (controls for the
 co-tenant host's time-varying background load). Each config row is the
 best COMPLETE interleaved run recorded for that config.
 
-Host calibration: this box advertises 32 cores but is co-tenant shared;
-each config records the effective parallelism of a pure-CPU process burn
-at both levels — the hardware scaling ceiling that exists before the
-engine runs at all.
+Host calibration: this box advertises 32 cores (lscpu: 32 physical, no
+SMT) but is hypervisor-oversubscribed; each config records the effective
+parallelism of a pure-CPU process burn at both levels — the hardware
+scaling ceiling that exists before the engine runs at all. The 32-proc
+burn repeatedly measures only ~17 effective cores even at near-zero load
+average (ceiling 0.58-0.61 across hours), so a raw 8v32 efficiency of
+0.8 is physically unattainable on this host for ANY program; the 4v16
+config (both levels inside the truly-available cores) is the
+engine-isolating measurement, and the 8v32 row is reported at the letter
+of the rule with its ceiling alongside.
 """]
     for key in sorted(records, key=lambda k: int(k.split("v")[0])):
         r = records[key]
