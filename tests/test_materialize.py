@@ -144,3 +144,34 @@ def test_compaction_crash_recovery_all_states(spark, tmp_path):
     # and a real compaction still works end-to-end after all that
     compact_snapshots(spark, out)
     assert {tuple(r) for r in read_edges(spark, out).collect()} == want
+
+
+def test_resume_aborts_when_lineage_unreadable(spark, tmp_path):
+    """Round-2 ADVICE: if page_log loads but lineage is missing/corrupt
+    (crash between materialize's writes), --resume must abort, NOT fall
+    back to overwrite (which destroyed all prior snapshots)."""
+    import shutil
+    import subprocess
+    import sys
+
+    import os
+
+    out = str(tmp_path / "kg")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run = [sys.executable, "/root/repo/jobs/kg_job.py", "--out", out]
+    first = subprocess.run(run + ["--n-synth", "40"], env=env,
+                           capture_output=True, text=True)
+    assert first.returncode == 0, first.stderr[-2000:]
+
+    shutil.rmtree(f"{out}/lineage")  # simulate the partial-write crash
+    edges_before = sorted(
+        str(p) for p in (tmp_path / "kg" / "edges").rglob("*.parquet"))
+    assert edges_before
+    resume = subprocess.run(run + ["--n-synth", "60", "--resume"], env=env,
+                            capture_output=True, text=True)
+    assert resume.returncode != 0
+    assert "refusing" in (resume.stderr + resume.stdout)
+    # prior snapshot data untouched
+    edges_after = sorted(
+        str(p) for p in (tmp_path / "kg" / "edges").rglob("*.parquet"))
+    assert edges_after == edges_before
