@@ -82,13 +82,40 @@ def generate_node_map(
                               active_subject, active_property, list_)
         return
 
-    # copy-on-visit instead of a whole-tree deepcopy up front (the
-    # reference deep-copies the expanded doc, json-ld.rkt:2581; profiling
-    # showed deepcopy at ~15% of the per-document pipeline). All mutations
-    # below (pops, @type rewrite) hit this shallow copy only.
-    element = dict(element)
-
     graph = node_map.setdefault(active_graph, {})
+
+    # value-object fast path: the most common element kind mutates
+    # NOTHING unless its @type is a blank node (rare), so skip the
+    # per-element dict copy. Storing the caller's dict is safe: node-map
+    # values are never mutated after insertion, and every caller
+    # (to_rdf/flatten) treats the expanded input as consumed
+    # (json-ld.rkt:2581 deep-copies instead; profiling put that at ~15%
+    # of the per-document pipeline, and the remaining copy-on-visit at
+    # a few % more).
+    if "@value" in element:
+        t = element.get("@type")
+        if t is not None and (
+                _is_blank_id(t)
+                or (isinstance(t, list) and any(map(_is_blank_id, t)))):
+            element = dict(element)
+            types = element["@type"]
+            if isinstance(types, list):
+                element["@type"] = [
+                    issuer.issue(x) if _is_blank_id(x) else x
+                    for x in types]
+            else:
+                element["@type"] = issuer.issue(types)
+        if list_ is None:
+            node = graph[active_subject]
+            _append_unless_member(node.setdefault(active_property, []),
+                                  element)
+        else:
+            list_["@list"].append(element)
+        return
+
+    # copy-on-visit for node/list objects: mutations below (pops, @type
+    # rewrite) hit this shallow copy only.
+    element = dict(element)
 
     if "@type" in element:
         types = element["@type"]
@@ -97,15 +124,6 @@ def generate_node_map(
                 issuer.issue(t) if _is_blank_id(t) else t for t in types]
         elif _is_blank_id(types):
             element["@type"] = issuer.issue(types)
-
-    if "@value" in element:
-        if list_ is None:
-            node = graph[active_subject]
-            _append_unless_member(node.setdefault(active_property, []),
-                                  element)
-        else:
-            list_["@list"].append(element)
-        return
 
     if "@list" in element:
         result: Dict[str, Any] = {"@list": []}
