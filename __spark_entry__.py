@@ -440,6 +440,46 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_keepers(pairs, ids)
 
 
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Hot-bucket-cap observability ('no silent caps'): per-band bucket
+    counts, capped buckets, docs living in capped buckets — the numbers
+    an operator watches next to minhash_lsh_candidates at 100 TB."""
+    from racket_linkeddata_spark.operators.textstats import lsh_bucket_stats
+
+    s = lsh_bucket_stats(_docs(spark, sf_dir), n=3, k=16, bands=4,
+                         max_bucket=512)
+    return s.select("band", "n_buckets", "n_capped_buckets",
+                    F.col("n_docs_in_capped").cast("bigint")
+                    .alias("n_docs_in_capped"),
+                    "max_bucket_size")
+
+
+def q_dedup_text_pipeline(spark, sf_dir):
+    """The COMPLETE text-dedup endgame composed from the scale-shaped
+    pieces: minhash-LSH candidate pairs -> exact n-gram-Jaccard verify
+    (>= 0.5) on candidates only -> connected components -> one keeper
+    per cluster. Oracle: the DuckDB minhash replica + list-based jaccard
+    + a recursive-CTE transitive closure."""
+    from racket_linkeddata_spark.operators.graph import dedup_keepers
+    from racket_linkeddata_spark.operators.textstats import (
+        minhash_lsh_candidates, shingles)
+
+    d = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(d, n=3, k=16, bands=4)
+    sh = d.select("doc_id", shingles(d, 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    verified = (cand.join(a, "doc_a").join(b, "doc_b")
+                .filter(F.size("sh_a") > 0)
+                .select("doc_a", "doc_b", F.round(jac, 4).alias("j"))
+                .filter(F.col("j") >= 0.5)
+                .select("doc_a", "doc_b"))
+    ids = d.select("doc_id")
+    return dedup_keepers(verified, ids)
+
+
 def q_multimodal_features(spark, sf_dir):
     from racket_linkeddata_spark.operators.multimodal import (
         extract_features, synthesize_media)
@@ -590,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_text_pipeline": q_dedup_text_pipeline,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_brute_topk": q_ann_brute_topk,
@@ -748,6 +790,76 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_inner_product(q.v, q.v)) *
                          sqrt(list_inner_product(c.v, c.v))), 4) >= 0.3""",
         "dedup_minhash_lsh": _ORACLE_MINHASH_LSH,
+        "lsh_bucket_stats": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(string_split(text, ' ')) - 1),
+                                 i -> string_split(text, ' ')[i] || ' ' ||
+                                      string_split(text, ' ')[i+1] || ' ' ||
+                                      string_split(text, ' ')[i+2]))
+                          ELSE [] END AS s
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     list_transform(s, g ->
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT
+                       % 2147483648) AS hs
+              FROM sh),
+            mins AS (
+              SELECT doc_id,
+                     {', '.join(
+                         f"coalesce(list_min(list_transform(hs, h -> "
+                         f"(h*{2 * j + 1} + {104729 * (j + 1)}) "
+                         f"% {_MERSENNE})), {_MERSENNE}) AS mh{j}"
+                         for j in range(16))}
+              FROM base),
+            banded AS (
+              {' UNION ALL '.join(
+                  f"SELECT doc_id, {i} AS band, "
+                  f"{'||chr(31)||'.join(f'mh{i * 4 + r}::VARCHAR' for r in range(4))}"
+                  f" AS bucket FROM mins" for i in range(4))}),
+            sized AS (
+              SELECT band, bucket, count(*) AS bsz FROM banded
+              GROUP BY band, bucket)
+            SELECT band, count(*) AS n_buckets,
+                   sum(CASE WHEN bsz > 512 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_capped_buckets,
+                   sum(CASE WHEN bsz > 512 THEN bsz ELSE 0 END)::BIGINT
+                     AS n_docs_in_capped,
+                   max(bsz) AS max_bucket_size
+            FROM sized GROUP BY band""",
+        "dedup_text_pipeline": f"""
+            WITH RECURSIVE sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(string_split(text, ' ')) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(string_split(text, ' ')) - 1),
+                                 i -> string_split(text, ' ')[i] || ' ' ||
+                                      string_split(text, ' ')[i+1] || ' ' ||
+                                      string_split(text, ' ')[i+2]))
+                          ELSE [] END AS s
+              FROM documents),
+            cand AS (SELECT * FROM ({_ORACLE_MINHASH_LSH}) q),
+            verified AS (
+              SELECT c.doc_a AS src, c.doc_b AS dst
+              FROM cand c
+              JOIN sh0 a ON a.doc_id = c.doc_a
+              JOIN sh0 b ON b.doc_id = c.doc_b
+              WHERE len(a.s) > 0
+                AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                          len(list_distinct(list_concat(a.s, b.s))), 4)
+                    >= 0.5),
+            edges AS (SELECT src, dst FROM verified
+                      UNION SELECT dst, src FROM verified),
+            walk(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r)
+            SELECT id AS doc_id, min(r) AS cluster_id,
+                   (min(r) = id) AS keep
+            FROM walk GROUP BY id""",
         "text_fingerprint": """
             SELECT doc_id,
                    list_min(list_transform(
