@@ -465,8 +465,18 @@ def q_dedup_text_pipeline(spark, sf_dir):
         minhash_lsh_candidates, shingles)
 
     d = _docs(spark, sf_dir)
-    cand = minhash_lsh_candidates(d, n=3, k=16, bands=4)
-    sh = d.select("doc_id", shingles(d, 3).alias("sh"))
+    # persist the candidate pairs (tiny — pairs only): consumed twice
+    # (candidate-id semi-join + verify join) and its minhash tree is the
+    # expensive part
+    cand = minhash_lsh_candidates(d, n=3, k=16, bands=4).persist()
+    # shingle ONLY candidate docs: candidates << corpus at scale, so the
+    # verify stage never evaluates the shingle tree over the full table
+    # (let alone twice, once per join side)
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    cd = d.join(cand_ids, "doc_id")
+    sh = cd.select("doc_id", shingles(cd, 3).alias("sh")).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))

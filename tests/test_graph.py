@@ -1,6 +1,13 @@
-"""Connected components / dedup clustering."""
+"""Connected components / dedup clustering — both execution paths:
+the driver-side union-find fast path (edge count under the explicit
+threshold) and the distributed pointer-jumping loop (forced with
+driver_threshold=0)."""
 
+import pytest
 from pyspark.sql import functions as F
+
+BOTH_PATHS = pytest.mark.parametrize("thresh", [2_000_000, 0],
+                                     ids=["driver", "distributed"])
 
 from racket_linkeddata_spark.operators.graph import (
     connected_components,
@@ -8,21 +15,25 @@ from racket_linkeddata_spark.operators.graph import (
 )
 
 
-def test_components_on_known_graph(spark):
+@BOTH_PATHS
+def test_components_on_known_graph(spark, thresh):
     # components: {1,2,3,4} (chain), {10,11}, {20} not in pairs
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
     got = {r.id: r.cluster_id
-           for r in connected_components(pairs).collect()}
+           for r in connected_components(
+               pairs, driver_threshold=thresh).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_components_deep_chain_converges(spark):
+@BOTH_PATHS
+def test_components_deep_chain_converges(spark, thresh):
     # a 40-link chain needs multiple propagation rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
     got = {r.id: r.cluster_id
-           for r in connected_components(pairs).collect()}
+           for r in connected_components(
+               pairs, driver_threshold=thresh).collect()}
     assert set(got.values()) == {0} and len(got) == 41
 
 
@@ -45,7 +56,7 @@ def test_edges_cache_released(spark):
         [(1, 2), (3, 4)], "doc_a long, doc_b long")
     sc = spark.sparkContext
     before = sc._jsc.sc().getPersistentRDDs().size()
-    connected_components(pairs, max_iter=5).collect()
+    connected_components(pairs, max_iter=5, driver_threshold=0).collect()
     after = sc._jsc.sc().getPersistentRDDs().size()
     # the explicitly persisted edges table is unpersisted; what remains
     # are localCheckpoint blocks (released by GC), not .persist leaks —
@@ -76,7 +87,9 @@ def test_components_match_union_find_on_random_graphs(spark):
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
         pairs = [(a, b) for a, b in pairs if a != b]
         df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
-        got = {r.id: r.cluster_id
-               for r in connected_components(df).collect()}
         want = union_find_labels(pairs)
-        assert got == want, f"trial {trial}"
+        for thresh in (2_000_000, 0):
+            got = {r.id: r.cluster_id
+                   for r in connected_components(
+                       df, driver_threshold=thresh).collect()}
+            assert got == want, f"trial {trial} thresh {thresh}"
