@@ -465,10 +465,15 @@ def q_dedup_text_pipeline(spark, sf_dir):
         minhash_lsh_candidates, shingles)
 
     d = _docs(spark, sf_dir)
-    # persist the candidate pairs (tiny — pairs only): consumed twice
+    # pin the candidate pairs (tiny — pairs only): consumed twice
     # (candidate-id semi-join + verify join) and its minhash tree is the
-    # expensive part
-    cand = minhash_lsh_candidates(d, n=3, k=16, bands=4).persist()
+    # expensive part. localCheckpoint, NOT persist: persist registers
+    # the plan fragment in the session CacheManager and silently
+    # substitutes InMemoryTableScan into every LATER query containing
+    # the same subtree (plan-shape pollution across the whole session);
+    # localCheckpoint materializes once with no cross-plan effect.
+    cand = minhash_lsh_candidates(d, n=3, k=16,
+                                  bands=4).localCheckpoint(eager=False)
     # shingle ONLY candidate docs: candidates << corpus at scale, so the
     # verify stage never evaluates the shingle tree over the full table
     # (let alone twice, once per join side)
@@ -476,7 +481,8 @@ def q_dedup_text_pipeline(spark, sf_dir):
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
     cd = d.join(cand_ids, "doc_id")
-    sh = cd.select("doc_id", shingles(cd, 3).alias("sh")).persist()
+    sh = (cd.select("doc_id", shingles(cd, 3).alias("sh"))
+          .localCheckpoint(eager=False))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))

@@ -95,7 +95,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
     for name in ["kg_triples", "kg_edges", "kg_page_log",
                  "dedup_minhash_lsh", "dedup_text_pipeline",
                  "dedup_ngram_jaccard",
-                 "dedup_simhash", "dedup_embedding_lsh", "text_tokens",
+                 "dedup_simhash", "dedup_embedding_lsh",
+                 "text_fingerprint", "text_tokens",
                  "text_langid", "ann_brute_topk", "ann_lsh_topk",
                  "multimodal_frames", "tpch_q1", "tpch_join",
                  "events_window"]:
