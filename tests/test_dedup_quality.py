@@ -131,7 +131,8 @@ def test_simhash_matches_md5_oracle(spark):
     import hashlib
 
     rows = [(0, "alpha beta gamma"), (1, ""), (2, "alpha alpha beta"),
-            (3, "x"), (4, "a  b")]  # incl. empty tokens from double space
+            (3, "x"), (4, "a  b"),  # incl. empty tokens from double space
+            (5, "héllo wörld 測試 naïve µ")]  # md5-over-utf8 beyond ASCII
     corpus = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
 
@@ -190,3 +191,26 @@ def test_lsh_bucket_key_is_collision_free_string(spark):
     for r in sample:
         parts = r.bucket.split("\x1f")
         assert len(parts) == 4 and all(p.lstrip("-").isdigit() for p in parts)
+
+
+def test_fingerprint_non_ascii_matches_hashlib_char_windows(spark):
+    """The fingerprint is defined over CHARACTER windows with md5 of the
+    window's utf-8 encoding — identical in Python, hashlib, and DuckDB
+    substring semantics, so parity holds beyond ASCII corpora."""
+    import hashlib
+
+    text = "héllo wörld — naïve café ± µ 測試 " * 40
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = fingerprint(df).collect()[0]
+    hs = [hashlib.md5(text[i:i + 8].encode("utf-8")).hexdigest()
+          for i in range(max(len(text) - 7, 1))]
+    assert row.fp_min == min(hs) and row.fp_max == max(hs)
+
+    import duckdb
+    got = duckdb.connect().execute(
+        "SELECT list_min(list_transform(range(1, greatest(length(t)-7,1)+1),"
+        " i -> md5(substring(t, i, 8)))),"
+        " list_max(list_transform(range(1, greatest(length(t)-7,1)+1),"
+        " i -> md5(substring(t, i, 8))))"
+        " FROM (SELECT ? AS t)", [text]).fetchone()
+    assert got == (row.fp_min, row.fp_max)
