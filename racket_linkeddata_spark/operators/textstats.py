@@ -223,9 +223,14 @@ def _lsh_band_table(docs: DataFrame, n: int, k: int, bands: int) -> DataFrame:
     bucketed on xxhash64(mh...) — a 64-bit hash whose collisions could
     merge distinct buckets and emit spurious candidate pairs (and broke
     exact oracle equivalence); the concatenated key is exact and is what
-    the DuckDB oracle computes verbatim. ``mins`` flows as ONE column
-    through both Generates (see _mins_table), so the minhash tree is
-    evaluated once per doc regardless of bands."""
+    the DuckDB oracle computes verbatim. Shuffle-width trade-off at
+    100 TB: the string key is ~40 B/row vs 8 B for the hash, but the
+    band table is only (doc_id, band, bucket), so its grouped-aggregate
+    shuffle grows ~2x in exchange for provably zero spurious candidate
+    pairs — and the candidate-pair output (the expensive downstream) is
+    unaffected or smaller. ``mins`` flows as ONE column through both
+    Generates (see _mins_table), so the minhash tree is evaluated once
+    per doc regardless of bands."""
     rows_per_band = k // bands
     return (_mins_table(docs, n, k)
             .select("doc_id", "mins",
