@@ -36,14 +36,19 @@ def main():
     # 10000-row batches x 32 concurrent tasks exhaust the JVM's direct
     # memory arena (reproduced at 1.2M pages: netty OutOfDirectMemoryError
     # at the 1 GiB default). 2048-row batches keep per-task buffers a few
-    # MB regardless of page size. driver.memory is NOT set here — it is
-    # ineffective once the JVM is up under spark-submit; pass
-    # --driver-memory 8g on the submit command line instead.
+    # MB regardless of page size. driver.memory here is effective ONLY
+    # when this script is launched as a plain python process (the JVM
+    # starts inside getOrCreate, and local-mode executors live in that
+    # JVM — without it a million-page run OOMs the default ~1g heap,
+    # reproduced at 600k pages). Under spark-submit the builder value is
+    # ignored because the JVM is already up — pass --driver-memory 8g on
+    # the submit command line (see the module docstring).
     spark = (SparkSession.builder.appName("kg-construct")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.files.openCostInBytes",
                      str(128 * 1024 * 1024))
+             .config("spark.driver.memory", "8g")
              .getOrCreate())
     from racket_linkeddata_spark.plans.kg import build_kg, materialize
     from racket_linkeddata_spark.sources.pages import synthesize_pages
