@@ -58,7 +58,10 @@ def _lift(transform):
                         doc = json.loads(txt)
                         outs.append(transform(doc, contexts, *args, **kw))
                         errs.append(None)
-                    except (ValueError, JsonLdError, RecursionError,
+                    # TypeError: json.loads(None) on a null doc/param row
+                    # must mark the row, not kill the task
+                    except (ValueError, TypeError, JsonLdError,
+                            RecursionError,
                             CanonicalizationBudgetExceeded) as e:
                         outs.append(None)
                         errs.append(getattr(e, "code", str(e)[:200]))
