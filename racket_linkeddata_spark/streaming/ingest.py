@@ -75,3 +75,64 @@ def run_ingest(spark: SparkSession, pages_path: str, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
+                  checkpoint_path: str, buckets: int = 64,
+                  available_now: bool = True, contexts_broadcast=None):
+    """Streaming KG construction into the SAME (snap, bucket)-partitioned
+    store that plans.kg.materialize writes: each micro-batch runs the
+    batch dedup chain (skolemize -> two-phase hash aggregate) and lands
+    as its own snapshot partition (snap = streaming batch id), so
+    read_edges/read_nodes' merging view, snapshot compaction, and the
+    batch/resume writers all share one layout.
+
+    Exactly-once on plain files: foreachBatch + DYNAMIC partition
+    overwrite — a replayed batch (crash between write and checkpoint
+    commit) overwrites exactly its own snap partition instead of
+    appending duplicates. ``out_dir`` must be dedicated to one stream:
+    streaming batch ids start at 0, which would collide with a batch
+    materialize()'s snapshot numbering in a shared directory."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedup_triples, skolemize_bnodes
+    from ..operators.extract import triples_only
+
+    def _write_batch(batch_df, batch_id: int):
+        # two sinks consume the batch: pin it so the Arrow extraction
+        # stage runs once, not once per write
+        batch_df = batch_df.localCheckpoint(eager=True)
+        snap = F.lit(batch_id).cast("int")
+        edges = dedup_triples(skolemize_bnodes(triples_only(batch_df)))
+        nodes_src = skolemize_bnodes(triples_only(batch_df))
+        nodes = (nodes_src.select(F.col("subj").alias("canon_uri"))
+                 .unionByName(nodes_src.filter(F.col("obj_kind") != 2)
+                              .select(F.col("obj_value").alias("canon_uri")))
+                 .groupBy("canon_uri")
+                 .agg(F.count(F.lit(1)).alias("n_mentions"))
+                 .withColumn("kind",
+                             F.when(F.col("canon_uri").startswith("_:"),
+                                    F.lit(1)).otherwise(F.lit(0))
+                             .cast("tinyint")))
+        (edges
+         .withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
+         .withColumn("snap", snap)
+         .write.partitionBy("snap", "bucket").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(f"{out_dir}/edges"))
+        (nodes
+         .withColumn("bucket",
+                     F.pmod(F.xxhash64("canon_uri"), F.lit(buckets)))
+         .withColumn("snap", snap)
+         .write.partitionBy("snap", "bucket").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(f"{out_dir}/nodes"))
+
+    triples = stream_triples(stream_pages(spark, pages_path),
+                             contexts_broadcast)
+    writer = (triples.writeStream
+              .foreachBatch(_write_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

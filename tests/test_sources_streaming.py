@@ -69,3 +69,55 @@ def test_streaming_ingest_and_checkpoint_resume(spark, tmp_path):
               .filter(F.col("count") != F.col("n_before")).count())
     assert redone == 0
     assert after.count() > n_first
+
+
+def test_streaming_kg_ingest_matches_batch_build(spark, tmp_path):
+    """run_ingest_kg lands micro-batches in the SAME (snap, bucket)
+    layout as batch materialize: the merged read view over the streamed
+    store equals a batch build_kg over the same pages, and checkpoint
+    resume processes only new files."""
+    from racket_linkeddata_spark.plans.kg import build_kg, read_edges
+    from racket_linkeddata_spark.streaming.ingest import run_ingest_kg
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_dt",
+           "obj_lang", "graph"]
+
+    synthesize_pages(spark, 40, partitions=2).write.parquet(
+        pages_dir, mode="overwrite")
+    q = run_ingest_kg(spark, pages_dir, out, ckpt, buckets=4)
+    q.awaitTermination(180)
+
+    def merged():
+        return {tuple(r[k] for k in key): r.n_sources
+                for r in read_edges(spark, out).collect()}
+
+    batch1 = build_kg(synthesize_pages(spark, 40, partitions=2),
+                      persist=False).edges
+    want1 = {tuple(r[k] for k in key): r.n_sources
+             for r in batch1.collect()}
+    assert merged() == want1
+
+    # second wave: resume processes only the new files; merged view now
+    # equals a batch build over ALL 70 pages
+    (synthesize_pages(spark, 70, partitions=2)
+     .filter(F.col("url").rlike("/page/(4[0-9]|5[0-9]|6[0-9])$"))
+     .write.mode("append").parquet(pages_dir))
+    q2 = run_ingest_kg(spark, pages_dir, out, ckpt, buckets=4)
+    q2.awaitTermination(180)
+    batch2 = build_kg(synthesize_pages(spark, 70, partitions=2),
+                      persist=False).edges
+    want2 = {tuple(r[k] for k in key): r.n_sources
+             for r in batch2.collect()}
+    assert merged() == want2
+
+    # restart with no new data: no new snapshots, store unchanged
+    snaps_before = {r.snap for r in spark.read.parquet(f"{out}/edges")
+                    .select("snap").distinct().collect()}
+    q3 = run_ingest_kg(spark, pages_dir, out, ckpt, buckets=4)
+    q3.awaitTermination(180)
+    snaps_after = {r.snap for r in spark.read.parquet(f"{out}/edges")
+                   .select("snap").distinct().collect()}
+    assert snaps_after == snaps_before and merged() == want2
