@@ -75,7 +75,17 @@ def generate_node_map(
     active_property: Optional[str] = None,
     list_: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """JSON-LD 1.0 Node Map Generation (json-ld.rkt:2322-2487)."""
+    """JSON-LD 1.0 Node Map Generation (json-ld.rkt:2322-2487).
+
+    CONSUMED-INPUT CONTRACT: ``element`` (the expanded document) is
+    treated as consumed — value objects are stored into the node map BY
+    REFERENCE (the fast path below), so callers must not mutate the
+    expanded document after calling this, and must not mutate the node
+    map's values. Both flatten() and to_rdf() honor this (they only
+    read); re-running either over the same expanded doc is safe and
+    covered by tests (test_node_map_input_not_mutated). The reference
+    deep-copies instead (json-ld.rkt:2581) at ~15% of per-document
+    pipeline cost."""
     if isinstance(element, list):
         for item in element:
             generate_node_map(item, node_map, issuer, active_graph,
@@ -192,8 +202,13 @@ def generate_node_map(
 
 
 def build_node_map(expanded: List[Any]):
-    """Run node-map generation over an expanded document (deep-copied:
-    generate_node_map mutates its input, cf. json-ld.rkt:2581).
+    """Run node-map generation over an expanded document.
+
+    Same consumed-input contract as generate_node_map: the expanded doc
+    is never mutated (copy-on-visit covers every mutation), but value
+    objects are stored into the returned node map BY REFERENCE — don't
+    mutate either structure afterwards (json-ld.rkt:2581 deep-copies to
+    get the same guarantee; measured ~15% of per-doc pipeline cost).
 
     Returns (node_map, issuer); the issuer is reused for rdf:List bnode
     chains so labels never collide.

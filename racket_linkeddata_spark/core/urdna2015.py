@@ -218,12 +218,17 @@ def _canonize(quads: List[Quad],
     # node with @id; skips the whole hashing state machine (~10% of the
     # per-document pipeline on such corpora). Bnode checks inlined
     # (the helper-call overhead is measurable at 3 checks/quad).
+    # isinstance (not ``__class__ is str``) on purpose: a str SUBCLASS
+    # bnode must not be misclassified as bnode-free (skipping relabeling
+    # entirely), and a malformed non-str subject should fall through to
+    # the strict path's typed errors, not raise AttributeError here.
+    # startswith dominates the scan cost; the isinstance delta is noise.
     has_bnode = False
     for q in quads:
         s, o, g = q.subj, q.obj, q.graph
-        if (s.startswith("_:")
-                or (o.__class__ is str and o.startswith("_:"))
-                or (g is not None and g.startswith("_:"))):
+        if ((isinstance(s, str) and s.startswith("_:"))
+                or (isinstance(o, str) and o.startswith("_:"))
+                or (isinstance(g, str) and g.startswith("_:"))):
             has_bnode = True
             break
     if not has_bnode:

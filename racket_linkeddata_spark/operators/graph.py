@@ -23,8 +23,13 @@ localCheckpoint.
 
 from __future__ import annotations
 
+import logging
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+logger = logging.getLogger(__name__)
 
 
 def _union_find_local(edge_rows, spark, id_type):
@@ -60,7 +65,8 @@ def _union_find_local(edge_rows, spark, id_type):
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_iter: int = 25,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = 2_000_000,
+                         stats_out: Optional[dict] = None) -> DataFrame:
     """(id, cluster_id) for every id appearing in ``pairs``; cluster_id
     is the minimum id of the component.
 
@@ -68,37 +74,69 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     near-dup PAIRS are orders of magnitude smaller than the corpus —
     at 100 TB the pair set after exact verification is typically
     millions, not billions. When the distinct edge count is below
-    ``driver_threshold`` (an EXPLICIT, logged gate — ~30 MB of driver
-    memory at the default, same order as Spark's own broadcast
-    collect), union-find runs driver-side in one pass: C-speed dict
-    ops replace 2-4 iterative rounds of 3-join jobs whose per-round
-    scheduling overhead dwarfs tiny data (measured ~1.5-2 s/round).
-    Above the gate, the distributed pointer-jumping loop below handles
-    arbitrarily large pair sets. Pass ``driver_threshold=0`` to force
-    the distributed path."""
+    ``driver_threshold`` (an explicit gate — logged, and reported via
+    ``stats_out`` when a dict is passed), union-find runs driver-side
+    in one pass: C-speed dict ops replace 2-4 iterative rounds of
+    3-join jobs whose per-round scheduling overhead dwarfs tiny data
+    (measured ~1.5-2 s/round). Above the gate, the distributed
+    pointer-jumping loop below handles arbitrarily large pair sets.
+    Pass ``driver_threshold=0`` to force the distributed path.
+
+    Driver memory at the gate: the edge list is pulled through ONE
+    Arrow toPandas transfer and held as a list of 2-tuples — ~100-150
+    bytes/edge for int ids (~250 MB at the 2M default, transiently ~2x
+    during the union-find dict build). Size driver heap accordingly or
+    lower the gate; the old Row-object collect cost several hundred
+    bytes/edge on top.
+
+    ``stats_out`` (optional dict) gets: ``path`` ("driver-union-find" |
+    "pointer-jumping"), ``probe_count`` (bounded edge-probe result),
+    and for the distributed path ``rounds`` (iterations run)."""
     edges = (pairs.select(F.col(a_col).alias("src"),
                           F.col(b_col).alias("dst"))
              .unionByName(pairs.select(F.col(b_col).alias("src"),
                                        F.col(a_col).alias("dst")))
              .distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
+    if stats_out is None:
+        stats_out = {}
     if driver_threshold > 0:
         # limit(threshold+1).count() bounds the action: never a full
         # count of a huge edge set just to decide the path
         probe = edges.limit(driver_threshold + 1).count()
+        stats_out["probe_count"] = probe
         if probe <= driver_threshold:
+            stats_out["path"] = "driver-union-find"
+            logger.info(
+                "connected_components: driver-union-find path "
+                "(probe=%d <= threshold=%d bidirectional edges)",
+                probe, driver_threshold)
             try:
-                rows = [(r.src, r.dst) for r in edges.collect()]
+                # one Arrow transfer, tuples not Rows (driver-memory
+                # note in the docstring)
+                pdf = edges.toPandas()
+                rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
                 return _union_find_local(
                     rows, pairs.sparkSession,
                     pairs.schema[a_col].dataType)
             finally:
                 edges.unpersist()
+        logger.info(
+            "connected_components: pointer-jumping path "
+            "(probe=%d > threshold=%d bidirectional edges)",
+            probe, driver_threshold)
+    else:
+        stats_out["probe_count"] = None
+        logger.info("connected_components: pointer-jumping path "
+                    "(driver_threshold=0, gate disabled)")
+    stats_out["path"] = "pointer-jumping"
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     try:
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             neighbor_min = (edges.join(labels,
                                        edges.dst == labels.id, "inner")
                             .groupBy("src")
@@ -126,6 +164,9 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             labels = new_labels
             if changed == 0:
                 break
+        stats_out["rounds"] = rounds
+        logger.info("connected_components: pointer-jumping converged "
+                    "in %d rounds", rounds)
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

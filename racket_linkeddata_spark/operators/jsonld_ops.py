@@ -49,6 +49,16 @@ def _lift(transform):
                                           pdf[json_col].tolist(), bases,
                                           params):
                     ids.append(i)
+                    # a null doc/param row marks the row, not kills the
+                    # task — checked explicitly so TypeError stays OUT of
+                    # the broad catch (a TypeError raised inside the
+                    # transform is a programming error, e.g. a bad
+                    # param_kw injecting an unexpected kwarg, and must
+                    # fail the job fast, not degrade to per-row strings)
+                    if txt is None or (param_col is not None and prm is None):
+                        outs.append(None)
+                        errs.append("null input row")
+                        continue
                     kw = dict(kwargs)
                     if base_col is not None:
                         kw["base"] = b
@@ -58,9 +68,7 @@ def _lift(transform):
                         doc = json.loads(txt)
                         outs.append(transform(doc, contexts, *args, **kw))
                         errs.append(None)
-                    # TypeError: json.loads(None) on a null doc/param row
-                    # must mark the row, not kill the task
-                    except (ValueError, TypeError, JsonLdError,
+                    except (ValueError, JsonLdError,
                             RecursionError,
                             CanonicalizationBudgetExceeded) as e:
                         outs.append(None)

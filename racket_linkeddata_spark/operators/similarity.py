@@ -199,26 +199,34 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     from .util import ensure_parallelism
 
-    c = ensure_parallelism(embeddings).select(
+    corpus = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("cv"))
-    c = c.select("item_id", "cv",
-                 F.posexplode(buckets_col(F.col("cv")))
-                 .alias("tbl", "bucket"))
+    c_buckets = corpus.select(
+        "item_id",
+        F.posexplode(buckets_col(F.col("cv"))).alias("tbl", "bucket"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"))
-    q = q.select("query_id", "qv",
-                 F.posexplode(buckets_col(F.col("qv")))
-                 .alias("tbl", "bucket"))
+    q_buckets = q.select(
+        "query_id",
+        F.posexplode(buckets_col(F.col("qv"))).alias("tbl", "bucket"))
 
-    candidates = (F.broadcast(q).join(c, ["tbl", "bucket"])
-                  .filter(F.col("query_id") != F.col("item_id"))
-                  .select("query_id", "qv", "item_id", "cv")
-                  .dropDuplicates(["query_id", "item_id"]))
-    scored = candidates.select(
-        "query_id", "item_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"))
+    # candidate dedup carries IDS ONLY — an item matching a query in
+    # several tables would otherwise shuffle its full vector once per
+    # match through the distinct (~8x more shuffle bytes at production
+    # dims). Vectors re-join AFTER the dedup: the corpus side is read
+    # twice (buckets branch + vector branch) but a column-pruned scan
+    # is far cheaper than shuffling vectors, and AQE broadcasts the
+    # (small) deduped candidate set so the vector join is shuffle-free.
+    cand_ids = (F.broadcast(q_buckets).join(c_buckets, ["tbl", "bucket"])
+                .filter(F.col("query_id") != F.col("item_id"))
+                .select("query_id", "item_id").distinct())
+    scored = (cand_ids.join(corpus, "item_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "item_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("item_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -64,6 +64,25 @@ def session(app: str = "kg", cpus: Optional[int] = None,
     return b.getOrCreate()
 
 
+def nodes_from_triples(triples: DataFrame) -> DataFrame:
+    """nodes = all IRI/bnode endpoints of a (skolemized) triples table,
+    one hash aggregate. SHARED by the batch plan (build_kg) and the
+    streaming writer (streaming.ingest.run_ingest_kg) so the two
+    stores' nodes tables cannot drift."""
+    subj_nodes = triples.select(F.col("subj").alias("canon_uri"))
+    obj_nodes = (triples.filter(F.col("obj_kind") != 2)
+                 .select(F.col("obj_value").alias("canon_uri")))
+    return (
+        subj_nodes.unionByName(obj_nodes)
+        .groupBy("canon_uri")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn(
+            "kind",
+            F.when(F.col("canon_uri").startswith("_:"), F.lit(1))
+            .otherwise(F.lit(0)).cast("tinyint"))
+    )
+
+
 class KgResult:
     def __init__(self, extracted, triples, edges, nodes, log, lineage,
                  snapshot_id: int = 0):
@@ -107,19 +126,7 @@ def build_kg(
 
     edges = dedup_triples(triples)
 
-    # nodes = all IRI/bnode endpoints, one hash aggregate
-    subj_nodes = triples.select(F.col("subj").alias("canon_uri"))
-    obj_nodes = (triples.filter(F.col("obj_kind") != 2)
-                 .select(F.col("obj_value").alias("canon_uri")))
-    nodes = (
-        subj_nodes.unionByName(obj_nodes)
-        .groupBy("canon_uri")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .withColumn(
-            "kind",
-            F.when(F.col("canon_uri").startswith("_:"), F.lit(1))
-            .otherwise(F.lit(0)).cast("tinyint"))
-    )
+    nodes = nodes_from_triples(triples)
 
     return KgResult(
         extracted=extracted,

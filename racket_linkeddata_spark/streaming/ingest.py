@@ -97,23 +97,18 @@ def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
 
     from ..operators.dedup import dedup_triples, skolemize_bnodes
     from ..operators.extract import triples_only
+    from ..plans.kg import nodes_from_triples
 
     def _write_batch(batch_df, batch_id: int):
         # two sinks consume the batch: pin it so the Arrow extraction
         # stage runs once, not once per write
         batch_df = batch_df.localCheckpoint(eager=True)
         snap = F.lit(batch_id).cast("int")
-        edges = dedup_triples(skolemize_bnodes(triples_only(batch_df)))
-        nodes_src = skolemize_bnodes(triples_only(batch_df))
-        nodes = (nodes_src.select(F.col("subj").alias("canon_uri"))
-                 .unionByName(nodes_src.filter(F.col("obj_kind") != 2)
-                              .select(F.col("obj_value").alias("canon_uri")))
-                 .groupBy("canon_uri")
-                 .agg(F.count(F.lit(1)).alias("n_mentions"))
-                 .withColumn("kind",
-                             F.when(F.col("canon_uri").startswith("_:"),
-                                    F.lit(1)).otherwise(F.lit(0))
-                             .cast("tinyint")))
+        triples = skolemize_bnodes(triples_only(batch_df))
+        edges = dedup_triples(triples)
+        # the SAME aggregation the batch plan uses — shared helper, so
+        # the streamed nodes table cannot drift from build_kg's
+        nodes = nodes_from_triples(triples)
         (edges
          .withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
          .withColumn("snap", snap)

@@ -37,6 +37,29 @@ def test_components_deep_chain_converges(spark, thresh):
     assert set(got.values()) == {0} and len(got) == 41
 
 
+def test_components_stats_and_log_on_both_paths(spark, caplog):
+    import logging
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    with caplog.at_level(logging.INFO,
+                         logger="racket_linkeddata_spark.operators.graph"):
+        stats = {}
+        connected_components(pairs, driver_threshold=2_000_000,
+                             stats_out=stats).collect()
+        assert stats["path"] == "driver-union-find"
+        assert stats["probe_count"] == 6  # 3 pairs, bidirectional
+        assert any("driver-union-find" in r.message for r in caplog.records)
+
+        caplog.clear()
+        stats = {}
+        connected_components(pairs, driver_threshold=0,
+                             stats_out=stats).collect()
+        assert stats["path"] == "pointer-jumping"
+        assert stats["rounds"] >= 1
+        assert any("pointer-jumping" in r.message for r in caplog.records)
+
+
 def test_dedup_keepers_keeps_min_per_cluster(spark):
     pairs = spark.createDataFrame(
         [(5, 9), (9, 7), (2, 3)], "doc_a long, doc_b long")

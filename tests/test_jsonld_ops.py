@@ -94,6 +94,34 @@ def test_frame_documents_matches_core(spark):
         assert got[i] == (want, None)
 
 
+def test_null_doc_and_param_rows_marked_not_fatal(spark):
+    from racket_linkeddata_spark.operators.jsonld_ops import compact_documents
+
+    rows = [(1, json.dumps(_jsonld_doc(1)), "{}"),
+            (2, None, "{}"),
+            (3, json.dumps(_jsonld_doc(3)), None)]
+    df = spark.createDataFrame(rows, "doc_id long, doc string, ctx string")
+    got = {r.doc_id: (r.out, r.error)
+           for r in compact_documents(df, param_col="ctx").collect()}
+    assert got[1][1] is None and got[1][0] is not None
+    assert got[2] == (None, "null input row")
+    assert got[3] == (None, "null input row")
+
+
+def test_transform_programming_error_fails_fast(spark):
+    """A bad param_kw injecting an unexpected kwarg is a programming
+    error: it must fail the job (TypeError is NOT in the per-row catch),
+    not silently degrade every row to an error string."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, json.dumps(_jsonld_doc(1)), "{}")],
+        "doc_id long, doc string, ctx string")
+    bad = expand_documents(df, param_col="ctx", param_kw="no_such_kwarg")
+    with pytest.raises(Exception, match="no_such_kwarg|TypeError"):
+        bad.collect()
+
+
 def test_sign_verify_documents_roundtrip(spark):
     from racket_linkeddata_spark.core.ld_sigs import generate_rsa_keypair
     from racket_linkeddata_spark.operators.jsonld_ops import (

@@ -21,6 +21,29 @@ def test_tordf_fromrdf_roundtrip_preserves_triples():
         assert canonical_nquads(quads1) == canonical_nquads(quads2)
 
 
+def test_node_map_input_not_mutated():
+    """generate_node_map's consumed-input contract (documented in its
+    docstring): the expanded input is never mutated, and re-running the
+    node-map + toRDF chain over the SAME expanded doc yields identical
+    results — so the by-reference value-object fast path is safe."""
+    import copy
+
+    from racket_linkeddata_spark.core.node_map import build_node_map
+    from racket_linkeddata_spark.core.urdna2015 import canonical_nquads
+
+    for i in range(0, 40, 7):
+        expanded = expand(_jsonld_doc(i))
+        snapshot = copy.deepcopy(expanded)
+        nm1, _ = build_node_map(expanded)
+        assert expanded == snapshot, "node-map generation mutated input"
+        nm2, _ = build_node_map(expanded)
+        assert nm1 == nm2
+        assert expanded == snapshot
+        # full downstream chain twice over the same doc object
+        assert canonical_nquads(to_rdf(_jsonld_doc(i))) \
+            == canonical_nquads(to_rdf(_jsonld_doc(i)))
+
+
 def test_extract_with_broadcast_remote_context(spark):
     """Pages whose JSON-LD uses a remote @context resolve through the
     broadcast pinned-url dict (no executor network I/O)."""

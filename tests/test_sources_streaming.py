@@ -113,6 +113,18 @@ def test_streaming_kg_ingest_matches_batch_build(spark, tmp_path):
              for r in batch2.collect()}
     assert merged() == want2
 
+    # NODES parity too (ADVICE r03): the streamed nodes table shares
+    # build_kg's aggregation via plans.kg.nodes_from_triples — the
+    # merged read view must equal the batch nodes exactly
+    from racket_linkeddata_spark.plans.kg import read_nodes
+    got_nodes = {(r.canon_uri, r.kind): r.n_mentions
+                 for r in read_nodes(spark, out).collect()}
+    batch_nodes = build_kg(synthesize_pages(spark, 70, partitions=2),
+                           persist=False).nodes
+    want_nodes = {(r.canon_uri, r.kind): r.n_mentions
+                  for r in batch_nodes.collect()}
+    assert got_nodes == want_nodes
+
     # restart with no new data: no new snapshots, store unchanged
     snaps_before = {r.snap for r in spark.read.parquet(f"{out}/edges")
                     .select("snap").distinct().collect()}
