@@ -304,6 +304,69 @@ def q_kg_page_log(spark, sf_dir):
     return log.select("url", "canon_hash", "n_triples")
 
 
+def rdfa_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> RDFa-bearing pages: deterministic schema.org Article
+    markup exercising vocab/typeof/about/property/content/href/datatype
+    plus relative-IRI resolution, built entirely JVM-side."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    div = F.concat(
+        F.lit('<div vocab="http://schema.org/" typeof="Article" '
+              'about="#art"><span property="headline" content="Doc '),
+        did,
+        F.lit('"></span><a property="author" href="/person/'),
+        (F.col("doc_id") % 101).cast("string"),
+        F.lit('">a</a><span property="wordCount" '
+              'datatype="http://www.w3.org/2001/XMLSchema#integer" '
+              'content="'),
+        F.col("n_chars").cast("string"),
+        F.lit('"></span></div>'))
+    html = F.concat(F.lit("<html><head></head><body>"), div,
+                    F.lit("</body></html>"))
+    url = F.concat(F.lit("https://kg.example.org/page/"), did)
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_kg_rdfa(spark, sf_dir):
+    """RDFa-Lite front end end-to-end: html attributes -> quads -> the
+    same canonicalization/triples schema as script-tag JSON-LD."""
+    from racket_linkeddata_spark.operators.extract import (
+        extract_triples, triples_only)
+
+    t = triples_only(extract_triples(rdfa_pages(spark, sf_dir)))
+    return t.select("url", "subj", "pred",
+                    F.col("obj_kind").cast("int").alias("obj_kind"),
+                    "obj_value", "obj_dt")
+
+
+_ORACLE_RDFA = f"""
+WITH t AS (
+  SELECT 'https://kg.example.org/page/' || doc_id AS url,
+         'https://kg.example.org/page/' || doc_id || '#art' AS subj,
+         '{RDF_TYPE}' AS pred,
+         0 AS obj_kind, 'http://schema.org/Article' AS obj_value,
+         NULL::VARCHAR AS obj_dt FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#art',
+         'http://schema.org/headline', 2, 'Doc ' || doc_id,
+         'http://www.w3.org/2001/XMLSchema#string' FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#art',
+         'http://schema.org/author', 0,
+         'https://kg.example.org/person/' || (doc_id % 101),
+         NULL FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#art',
+         'http://schema.org/wordCount', 2, CAST(n_chars AS VARCHAR),
+         '{XSD_INT}' FROM documents
+)
+SELECT * FROM t
+"""
+
+
 def q_kg_entity_link(spark, sf_dir):
     from racket_linkeddata_spark.operators.entity_link import link_entities
 
@@ -635,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
         "kg_page_log": q_kg_page_log,
+        "kg_rdfa": q_kg_rdfa,
         "kg_entity_link": q_kg_entity_link,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -680,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '{KG}Document', 0, (SELECT count(*) FROM documents)""",
         "kg_page_log": _ORACLE_CANON,
+        "kg_rdfa": _ORACLE_RDFA,
         "jsonld_expand_docs": f"""
             SELECT doc_id,
                    '[{{"@id": "{KG}doc/' || doc_id

@@ -92,7 +92,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
         extra["pages_per_sec"] = round(n_pages / timings["kg_build"], 1)
 
     queries = entry_mod.queries()
-    for name in ["kg_triples", "kg_edges", "kg_page_log",
+    for name in ["kg_triples", "kg_edges", "kg_page_log", "kg_rdfa",
                  "dedup_minhash_lsh", "dedup_text_pipeline",
                  "dedup_ngram_jaccard",
                  "dedup_simhash", "dedup_embedding_lsh",

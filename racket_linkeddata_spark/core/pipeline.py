@@ -29,6 +29,12 @@ _SCRIPT_RE = re.compile(
 )
 _BODY_RE = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
 
+# fast RDFa gate: the full html.parser pass only runs when one of the
+# trigger attributes appears at all — a single C-speed byte scan, so
+# RDFa-free corpora pay ~nothing for the second extractor. False
+# positives (the words in text) just cost one lenient parse.
+_RDFA_HINT_RE = re.compile(rb"(?:property|typeof|vocab)\s*=", re.IGNORECASE)
+
 
 def extract_jsonld_scripts(html: bytes) -> List[str]:
     """Pull embedded JSON-LD script payloads out of an html page."""
@@ -74,6 +80,13 @@ def page_to_triples(
                 continue
             quads.extend(
                 to_rdf(doc, base=url, remote_contexts=remote_contexts))
+        # second extractor, same triples schema: RDFa-Lite attributes
+        # (north star names both formats). Gated on a byte scan so
+        # RDFa-free pages skip the html parse entirely; both formats'
+        # quads canonicalize TOGETHER per document.
+        if _RDFA_HINT_RE.search(html):
+            from .rdfa import extract_rdfa
+            quads.extend(extract_rdfa(html, url))
         canon = (canonize_quads_with_lines(quads, max_permutation_steps)
                  if quads else [])
     except JsonLdError as e:

@@ -1,0 +1,248 @@
+"""RDFa-Lite extraction: html attributes -> RDF quads.
+
+The north star's front end names TWO embedded-data formats —
+``<script type="application/ld+json">`` (core/pipeline.py) and RDFa.
+The reference never touches html (its entry points start at JSON-LD /
+N-Quads text), so the TRIPLE semantics here follow the same rdf.rkt data
+model the rest of the engine uses (core/terms.py) and the W3C RDFa Lite
+1.1 attribute set; the extracted quads feed the SAME per-document
+URDNA2015 canonicalization as script-tag JSON-LD, so both formats land
+in one triples schema.
+
+Implemented (RDFa Lite 1.1 + the Core bits it implies):
+
+- ``vocab``     default vocabulary for bare ``property``/``typeof`` terms
+- ``prefix``    CURIE prefix declarations (``pfx: iri ...`` pairs)
+- ``about``     explicit subject (IRI / CURIE / safe-CURIE / ``_:bnode``)
+- ``typeof``    rdf:type triples; without about/resource mints a bnode
+                (chained as the object when ``property`` is present)
+- ``property``  predicate(s); object = resource/href/src IRI if present,
+                else typed-bnode chain, else ``content`` attr, else the
+                element's concatenated text content
+- ``resource`` / ``href`` / ``src``  object IRI (also the subject for
+                descendants, RDFa Core's "current object resource")
+- ``datatype``  typed literals (empty string forces a plain literal)
+- ``lang`` / ``xml:lang``  language-tagged literals (inherited)
+
+Deliberate simplifications (documented contract, each a fringe of RDFa
+Core that Common-Crawl-style markup essentially never exercises):
+
+- no ``@rel``/``@rev``/``@inlist``/``@datetime`` and no rdfa: / XMLLiteral
+  output;
+- no W3C "initial context" prefix set: prefixes must be declared with
+  ``prefix=`` (or come from ``vocab``) — keeps extraction deterministic
+  with zero bundled registry;
+- text-content literals are the element's raw concatenated character
+  data (no whitespace normalization), matching DOM textContent;
+- unresolvable terms/CURIEs are skipped silently (per spec).
+
+Parsing uses the stdlib html.parser (lenient on malformed markup:
+unclosed tags pop to the nearest matching open tag, stray end tags are
+ignored, void elements never push scope). One hostile page can still
+only fail its own row: page_to_triples wraps extraction in the
+per-document error envelope.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+from .context import is_absolute_iri, resolve_iri
+from .terms import RDF_LANG_STRING, RDF_TYPE, XSD_STRING, Literal, Quad
+
+_VOID = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
+
+class _Frame:
+    __slots__ = ("tag", "subject", "vocab", "prefixes", "lang", "captures")
+
+    def __init__(self, tag, subject, vocab, prefixes, lang):
+        self.tag = tag
+        self.subject = subject      # parent object for descendants
+        self.vocab = vocab
+        self.prefixes = prefixes    # dict, copy-on-write
+        self.lang = lang
+        self.captures = ()          # text-literal captures owned by this tag
+
+
+class _RdfaParser(HTMLParser):
+    def __init__(self, base: str):
+        super().__init__(convert_charrefs=True)
+        self.base = base
+        self.quads: List[Quad] = []
+        self._bnodes = 0
+        self._active: List[List[str]] = []  # open text-capture buffers
+        root = _Frame(None, base, None, {}, None)
+        self._stack: List[_Frame] = [root]
+
+    # --- term / IRI resolution -------------------------------------------
+
+    def _bnode(self) -> str:
+        # "_:rdfa<N>" cannot collide with to_rdf's JSON-LD issuer labels
+        # ("_:b<N>"); URDNA2015 relabels both to _:c14n<N> afterwards
+        self._bnodes += 1
+        return f"_:rdfa{self._bnodes - 1}"
+
+    def _expand_term(self, term: str, f: _Frame) -> Optional[str]:
+        """property/typeof/datatype position: TERMorCURIEorAbsIRI."""
+        if not term:
+            return None
+        if term.startswith("[") and term.endswith("]"):
+            term = term[1:-1]
+        if ":" in term:
+            pfx, _, local = term.partition(":")
+            if pfx == "_":
+                return None  # bnodes are not predicates/types
+            if pfx in f.prefixes:
+                return f.prefixes[pfx] + local
+            return term if is_absolute_iri(term) else None
+        return f.vocab + term if f.vocab else None
+
+    def _resolve_ref(self, value: str, f: _Frame,
+                     curie_ok: bool = True) -> Optional[str]:
+        """about/resource position: IRI, CURIE, safe-CURIE or bnode;
+        relative IRIs resolve against the page url."""
+        if value.startswith("[") and value.endswith("]"):
+            inner = value[1:-1]
+            if inner.startswith("_:"):
+                return inner
+            pfx, colon, local = inner.partition(":")
+            if colon and pfx in f.prefixes:
+                return f.prefixes[pfx] + local
+            return None  # unresolvable safe CURIE is ignored per spec
+        if value.startswith("_:"):
+            return value
+        if curie_ok and ":" in value:
+            pfx, _, local = value.partition(":")
+            if pfx in f.prefixes:
+                return f.prefixes[pfx] + local
+        return resolve_iri(self.base, value)
+
+    # --- tag handling -----------------------------------------------------
+
+    def handle_starttag(self, tag: str,
+                        attrs: List[Tuple[str, Optional[str]]]) -> None:
+        parent = self._stack[-1]
+        a = {k: (v if v is not None else "") for k, v in attrs}
+
+        vocab, prefixes, lang = parent.vocab, parent.prefixes, parent.lang
+        if "vocab" in a:
+            vocab = a["vocab"] or None
+        if "prefix" in a:
+            prefixes = dict(prefixes)
+            toks = a["prefix"].split()
+            for i in range(0, len(toks) - 1, 2):
+                if toks[i].endswith(":"):
+                    prefixes[toks[i][:-1]] = toks[i + 1]
+        if "xml:lang" in a:
+            lang = a["xml:lang"] or None
+        elif "lang" in a:
+            lang = a["lang"] or None
+
+        f = _Frame(tag, parent.subject, vocab, prefixes, lang)
+
+        about = (self._resolve_ref(a["about"], f)
+                 if "about" in a else None)
+        res_attr = next((k for k in ("resource", "href", "src")
+                         if k in a), None)
+        obj_iri = (self._resolve_ref(a[res_attr], f,
+                                     curie_ok=res_attr == "resource")
+                   if res_attr else None)
+        types = ([t for t in (self._expand_term(x, f)
+                              for x in a["typeof"].split()) if t]
+                 if "typeof" in a else [])
+        props = ([p for p in (self._expand_term(x, f)
+                              for x in a["property"].split()) if p]
+                 if "property" in a else [])
+        dt = (self._expand_term(a["datatype"], f)
+              if a.get("datatype") else None)
+
+        if props:
+            subj = about if about is not None else parent.subject
+            obj: object = None
+            if obj_iri is not None:
+                obj = obj_iri
+            elif "typeof" in a:
+                obj = self._bnode()  # typed-object chaining
+            elif "content" in a:
+                obj = (Literal(a["content"], dt) if dt
+                       else Literal(a["content"], RDF_LANG_STRING, lang)
+                       if lang else Literal(a["content"], XSD_STRING))
+            if obj is not None:
+                for p in props:
+                    self.quads.append(Quad(subj, p, obj))
+                if types:
+                    for t in types:
+                        self.quads.append(Quad(obj, RDF_TYPE, t))
+                # RDFa Core: the object resource is the parent object
+                # for descendants
+                f.subject = obj if isinstance(obj, str) else subj
+            else:
+                # text-content literal: buffer until this tag closes
+                buf: List[str] = []
+                self._active.append(buf)
+                f.captures = ((subj, tuple(props), dt, lang, buf),)
+                f.subject = subj
+        elif types:
+            node = about if about is not None else \
+                obj_iri if obj_iri is not None else self._bnode()
+            for t in types:
+                self.quads.append(Quad(node, RDF_TYPE, t))
+            f.subject = node
+        elif about is not None:
+            f.subject = about
+        elif obj_iri is not None and res_attr == "resource":
+            # bare @resource (no property/typeof) sets the subject for
+            # descendants; bare href/src (plain links) do not
+            f.subject = obj_iri
+
+        if tag not in _VOID:
+            self._stack.append(f)
+        elif f.captures:
+            # property-without-object on a void element: empty literal
+            self._finalize(f)
+
+    def handle_endtag(self, tag: str) -> None:
+        # lenient pop: close to the nearest matching open tag; ignore a
+        # stray end tag entirely (never pop the root)
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                for f in reversed(self._stack[i:]):
+                    self._finalize(f)
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data: str) -> None:
+        for buf in self._active:
+            buf.append(data)
+
+    def _finalize(self, f: _Frame) -> None:
+        for subj, props, dt, lang, buf in f.captures:
+            text = "".join(buf)
+            lit = (Literal(text, dt) if dt
+                   else Literal(text, RDF_LANG_STRING, lang)
+                   if lang else Literal(text, XSD_STRING))
+            for p in props:
+                self.quads.append(Quad(subj, p, lit))
+            self._active.remove(buf)
+        f.captures = ()
+
+    def close(self) -> None:
+        super().close()
+        # unclosed tags at EOF: finalize any pending text literals
+        for f in reversed(self._stack[1:]):
+            self._finalize(f)
+        del self._stack[1:]
+
+
+def extract_rdfa(html: bytes, base: str) -> List[Quad]:
+    """Extract RDFa-Lite quads from an html page (see module docstring
+    for the attribute semantics). Returns [] for pages without RDFa."""
+    p = _RdfaParser(base)
+    p.feed(html.decode("utf-8", "replace"))
+    p.close()
+    return p.quads
