@@ -25,7 +25,7 @@ import sys
 import time
 
 
-def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
+def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from racket_linkeddata_spark.plans.kg import build_kg, session
@@ -50,6 +50,11 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 2):
             out = fn()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # cross-query hygiene: release the previous query's
+        # localCheckpoint blocks (held until Python GC drops the DF)
+        # so later queries aren't taxed by earlier queries' storage
+        import gc
+        gc.collect()
         return out
 
     # synthesize the pages corpus to parquet once, OUTSIDE the timed
@@ -125,7 +130,10 @@ def main():
                                           "/root/testdata/sf0.1"))
     p.add_argument("--only", nargs="*", default=None)
     p.add_argument("--n-pages", type=int, default=None)
-    p.add_argument("--reps", type=int, default=2)
+    # 3 reps: best-of needs >=2 warm reps on the co-tenant host — the
+    # round-3 driver snapshot regressed 4-17% on five queries purely
+    # from scheduling noise that a third rep absorbs
+    p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
     result = run(args.cpus, args.sf_dir, args.only, args.n_pages, args.reps)
     print(json.dumps(result))
