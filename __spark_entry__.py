@@ -367,6 +367,67 @@ SELECT * FROM t
 """
 
 
+def microdata_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> microdata-bearing pages: deterministic schema.org
+    Product markup (itemscope/itemtype/itemid/itemprop, text + href +
+    meta-content values), built entirely JVM-side."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    div = F.concat(
+        F.lit('<div itemscope itemtype="http://schema.org/Product" '
+              'itemid="#prod"><span itemprop="name">Item '),
+        did,
+        F.lit('</span><a itemprop="url" href="/item/'),
+        (F.col("doc_id") % 71).cast("string"),
+        F.lit('">x</a><meta itemprop="sku" content="SKU-'),
+        did,
+        F.lit('"></div>'))
+    html = F.concat(F.lit("<html><head></head><body>"), div,
+                    F.lit("</body></html>"))
+    url = F.concat(F.lit("https://kg.example.org/page/"), did)
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_kg_microdata(spark, sf_dir):
+    """Microdata front end end-to-end: itemscope/itemprop -> quads ->
+    the same canonicalization/triples schema as the other formats."""
+    from racket_linkeddata_spark.operators.extract import (
+        extract_triples, triples_only)
+
+    t = triples_only(extract_triples(microdata_pages(spark, sf_dir)))
+    return t.select("url", "subj", "pred",
+                    F.col("obj_kind").cast("int").alias("obj_kind"),
+                    "obj_value", "obj_dt")
+
+
+_ORACLE_MICRODATA = f"""
+WITH t AS (
+  SELECT 'https://kg.example.org/page/' || doc_id AS url,
+         'https://kg.example.org/page/' || doc_id || '#prod' AS subj,
+         '{RDF_TYPE}' AS pred,
+         0 AS obj_kind, 'http://schema.org/Product' AS obj_value,
+         NULL::VARCHAR AS obj_dt FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#prod',
+         'http://schema.org/name', 2, 'Item ' || doc_id,
+         'http://www.w3.org/2001/XMLSchema#string' FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#prod',
+         'http://schema.org/url', 0,
+         'https://kg.example.org/item/' || (doc_id % 71),
+         NULL FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#prod',
+         'http://schema.org/sku', 2, 'SKU-' || doc_id,
+         'http://www.w3.org/2001/XMLSchema#string' FROM documents
+)
+SELECT * FROM t
+"""
+
+
 def q_kg_entity_link(spark, sf_dir):
     from racket_linkeddata_spark.operators.entity_link import link_entities
 
@@ -699,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_page_log": q_kg_page_log,
         "kg_rdfa": q_kg_rdfa,
+        "kg_microdata": q_kg_microdata,
         "kg_entity_link": q_kg_entity_link,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -745,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{KG}Document', 0, (SELECT count(*) FROM documents)""",
         "kg_page_log": _ORACLE_CANON,
         "kg_rdfa": _ORACLE_RDFA,
+        "kg_microdata": _ORACLE_MICRODATA,
         "jsonld_expand_docs": f"""
             SELECT doc_id,
                    '[{{"@id": "{KG}doc/' || doc_id

@@ -29,11 +29,12 @@ _SCRIPT_RE = re.compile(
 )
 _BODY_RE = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
 
-# fast RDFa gate: the full html.parser pass only runs when one of the
-# trigger attributes appears at all — a single C-speed byte scan, so
-# RDFa-free corpora pay ~nothing for the second extractor. False
-# positives (the words in text) just cost one lenient parse.
+# fast gates: the full html.parser passes only run when a trigger
+# attribute appears at all — single C-speed byte scans, so pages without
+# RDFa/microdata pay ~nothing for the extra extractors. False positives
+# (the words in text) just cost one lenient parse.
 _RDFA_HINT_RE = re.compile(rb"(?:property|typeof|vocab)\s*=", re.IGNORECASE)
+_MICRODATA_HINT_RE = re.compile(rb"itemscope", re.IGNORECASE)
 
 
 def extract_jsonld_scripts(html: bytes) -> List[str]:
@@ -80,13 +81,18 @@ def page_to_triples(
                 continue
             quads.extend(
                 to_rdf(doc, base=url, remote_contexts=remote_contexts))
-        # second extractor, same triples schema: RDFa-Lite attributes
-        # (north star names both formats). Gated on a byte scan so
-        # RDFa-free pages skip the html parse entirely; both formats'
-        # quads canonicalize TOGETHER per document.
+        # second/third extractors, same triples schema: RDFa-Lite
+        # attributes (north star names both formats) and schema.org
+        # microdata (the third embedded format on real web pages).
+        # Each gated on a byte scan so pages without it skip the html
+        # parse entirely; all formats' quads canonicalize TOGETHER per
+        # document.
         if _RDFA_HINT_RE.search(html):
             from .rdfa import extract_rdfa
             quads.extend(extract_rdfa(html, url))
+        if _MICRODATA_HINT_RE.search(html):
+            from .microdata import extract_microdata
+            quads.extend(extract_microdata(html, url))
         canon = (canonize_quads_with_lines(quads, max_permutation_steps)
                  if quads else [])
     except JsonLdError as e:
