@@ -428,6 +428,69 @@ SELECT * FROM t
 """
 
 
+def mixed_format_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages carrying ALL THREE embedded formats at once
+    (JSON-LD script tag + RDFa + microdata): the real-web shape, and the
+    proof that the three extractors compose in ONE per-document
+    canonicalization pass."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@id": "https://kg.example.org/page/'),
+        did,
+        F.lit('#js", "http://schema.org/name": "J'),
+        did,
+        F.lit('"}</script></head><body>'
+              '<div vocab="http://schema.org/" about="#rd">'
+              '<span property="name" content="R'),
+        did,
+        F.lit('"></span></div>'
+              '<div itemscope itemtype="http://schema.org/Product" '
+              'itemid="#md"><meta itemprop="sku" content="S'),
+        did,
+        F.lit('"></div></body></html>'))
+    url = F.concat(F.lit("https://kg.example.org/page/"), did)
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_kg_mixed_formats(spark, sf_dir):
+    from racket_linkeddata_spark.operators.extract import (
+        extract_triples, triples_only)
+
+    t = triples_only(extract_triples(mixed_format_pages(spark, sf_dir)))
+    return t.select("url", "subj", "pred",
+                    F.col("obj_kind").cast("int").alias("obj_kind"),
+                    "obj_value", "obj_dt")
+
+
+_ORACLE_MIXED = f"""
+WITH t AS (
+  SELECT 'https://kg.example.org/page/' || doc_id AS url,
+         'https://kg.example.org/page/' || doc_id || '#js' AS subj,
+         'http://schema.org/name' AS pred, 2 AS obj_kind,
+         'J' || doc_id AS obj_value,
+         'http://www.w3.org/2001/XMLSchema#string' AS obj_dt
+  FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#rd',
+         'http://schema.org/name', 2, 'R' || doc_id,
+         'http://www.w3.org/2001/XMLSchema#string' FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#md',
+         '{RDF_TYPE}', 0, 'http://schema.org/Product', NULL FROM documents
+  UNION ALL
+  SELECT 'https://kg.example.org/page/' || doc_id,
+         'https://kg.example.org/page/' || doc_id || '#md',
+         'http://schema.org/sku', 2, 'S' || doc_id,
+         'http://www.w3.org/2001/XMLSchema#string' FROM documents
+)
+SELECT * FROM t
+"""
+
+
 def q_kg_entity_link(spark, sf_dir):
     from racket_linkeddata_spark.operators.entity_link import link_entities
 
@@ -761,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_page_log": q_kg_page_log,
         "kg_rdfa": q_kg_rdfa,
         "kg_microdata": q_kg_microdata,
+        "kg_mixed_formats": q_kg_mixed_formats,
         "kg_entity_link": q_kg_entity_link,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -808,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_page_log": _ORACLE_CANON,
         "kg_rdfa": _ORACLE_RDFA,
         "kg_microdata": _ORACLE_MICRODATA,
+        "kg_mixed_formats": _ORACLE_MIXED,
         "jsonld_expand_docs": f"""
             SELECT doc_id,
                    '[{{"@id": "{KG}doc/' || doc_id
