@@ -51,6 +51,14 @@ def main():
              "racket_linkeddata_spark.operators.textstats",
              fromlist=["minhash_lsh_candidates"]).minhash_lsh_candidates(
                  spark.read.parquet(f"{sf}/documents.parquet")), 70)),
+        ("ANN lsh_topk: candidate dedup carries (query_id, item_id) "
+         "ONLY — no vector column in any aggregate key — then vectors "
+         "re-join (corpus re-scan beats shuffling 64-double arrays)",
+         cap((lambda e: __import__(
+             "racket_linkeddata_spark.operators.similarity",
+             fromlist=["lsh_topk"]).lsh_topk(
+                 e, e.filter("vec_id < 5"), k=5))(
+                     spark.read.parquet(f"{sf}/embeddings.parquet")), 80)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "
