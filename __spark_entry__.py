@@ -584,6 +584,50 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def _oracle_ivf_topk(centroid_mod: int = 97, nprobe: int = 3,
+                     k: int = 5) -> str:
+    """DuckDB replica of similarity.ivf_topk: id-sampled centroids,
+    rounded-cosine argmax cell assignment (ties to lowest centroid id),
+    nprobe probe cells per query, exact cosine + row_number top-k."""
+    def cos(a, b):
+        return (f"round(list_inner_product({a}, {b}) / "
+                f"(sqrt(list_inner_product({a}, {a})) * "
+                f"sqrt(list_inner_product({b}, {b}))), 4)")
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {centroid_mod} = 0),
+        sims AS (SELECT e.vec_id, c.cid, {cos('e.v', 'c.cv')} AS s
+                 FROM e CROSS JOIN c),
+        assign AS (SELECT vec_id AS item_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM sims
+            WHERE vec_id < 5) WHERE rn <= {nprobe}),
+        cand AS (SELECT query_id, item_id
+                 FROM probes JOIN assign USING (cell)
+                 WHERE query_id != item_id),
+        scored AS (SELECT query_id, item_id,
+                          {cos('qe.v', 'ce.v')} AS cos_sim
+                   FROM cand JOIN e qe ON qe.vec_id = query_id
+                             JOIN e ce ON ce.vec_id = item_id)
+        SELECT query_id, item_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, item_id) AS rank FROM scored)
+        WHERE rank <= {k}"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup — exact baseline (the dedup-family
     analogue of ann_cosine_threshold; the scale path is the LSH variant
@@ -842,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
@@ -1147,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         # checksum is a list_reduce fold in HUGEINT
         "dedup_embedding_lsh": _oracle_embedding_lsh(),
         "ann_lsh_topk": _oracle_lsh_topk(),
+        "ann_ivf_topk": _oracle_ivf_topk(),
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

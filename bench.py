@@ -104,6 +104,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
                  "dedup_simhash", "dedup_embedding_lsh",
                  "text_fingerprint", "text_tokens",
                  "text_langid", "ann_brute_topk", "ann_lsh_topk",
+                 "ann_ivf_topk",
                  "multimodal_frames", "tpch_q1", "tpch_join",
                  "events_window"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())

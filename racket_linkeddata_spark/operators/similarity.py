@@ -172,6 +172,89 @@ def _srp_buckets_udf(n_planes: int, n_tables: int):
     return buckets_udf
 
 
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_mod: int = 97, nprobe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an IVF-flat coarse quantizer — the OTHER
+    classic ANN scale path next to SRP-LSH (lsh_topk):
+
+    - *train*: centroids are a deterministic id-sampled subset of the
+      corpus (``vec_id % centroid_mod == 0``), collected once and
+      broadcast in the UDF closure. This is the one driver action in
+      the operator, inherent to IVF (a coarse quantizer must exist
+      before assignment); production swaps in k-means centroids read
+      from a table — the assignment/probe plan is identical, only the
+      centroid matrix changes. Centroid count ~ N/centroid_mod, the
+      usual ~sqrt(N)-ish broadcast-dim-table size.
+    - *assign* (map-only): every corpus vector gets the cell of its
+      most-similar centroid — one Arrow-batched numpy matmul; cosine
+      rounded to 4 decimals with lowest-centroid-id tie-break so the
+      assignment is reproducible cross-engine.
+    - *probe*: each query scores ONLY vectors in its ``nprobe`` most
+      similar cells (equi-join on cell id — linear shuffle, never a
+      cross product). Cells PARTITION the corpus (unlike multi-table
+      LSH), so (query, item) candidates are unique by construction:
+      no dedup shuffle at all. Candidates carry ids only; vectors
+      re-join afterwards (same shuffle-width rationale as lsh_topk).
+
+    Recall rises with nprobe and falls with centroid_mod; exactness is
+    brute_force_topk's contract, not this one."""
+    from pyspark.sql.window import Window
+
+    from .util import ensure_parallelism
+
+    cent_rows = (embeddings
+                 .filter(F.col(id_col) % centroid_mod == 0)
+                 .select(F.col(id_col).cast("int"),
+                         F.col(vec_col).cast("array<double>"))
+                 .orderBy(id_col).collect())
+    cent_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    cent = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    cent_n = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T
+
+    def _cells_udf(n: int):
+        """Top-n centroid cells per vector (n=1: corpus assignment;
+        n=nprobe: query probe). One matmul per Arrow batch."""
+        @F.pandas_udf("array<int>")
+        def cells(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ cent_n, 4)
+            # order: sim desc, centroid id asc — centroids are id-sorted,
+            # so a STABLE sort on -sims breaks ties by ascending id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(cent_ids[order].astype("int32")))
+        return cells
+
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"))
+    assign = corpus.select(
+        "item_id",
+        F.element_at(_cells_udf(1)(F.col("cv")), 1).alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"))
+    probes = q.select(
+        "query_id",
+        F.explode(_cells_udf(nprobe)(F.col("qv"))).alias("cell"))
+
+    cand = (F.broadcast(probes).join(assign, "cell")
+            .filter(F.col("query_id") != F.col("item_id"))
+            .select("query_id", "item_id"))
+    scored = (cand.join(corpus, "item_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "item_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 4, n_tables: int = 16,
              dim: Optional[int] = None,

@@ -23,6 +23,41 @@ def test_lsh_recall_vs_brute_force(spark):
     assert len(approx) <= len(exact)
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF-flat at defaults (centroids = ids % 97, nprobe 3 of 6 cells
+    at this sf) must recover most of the exact top-5 and never invent
+    results (cells partition the corpus; scoring is exact cosine)."""
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.item_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.item_id)
+              for r in ivf_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
+    assert len(approx) <= len(exact)
+    # raising nprobe to ALL cells makes IVF exhaustive == brute force
+    full = {(r.query_id, r.item_id)
+            for r in ivf_topk(e, q, k=5, nprobe=6).collect()}
+    assert full == exact
+
+
+def test_ivf_candidates_need_no_dedup(spark):
+    """Cells PARTITION the corpus: every item lands in exactly one
+    cell, so (query, item) candidates are unique by construction and
+    the plan needs no dedup aggregate between probe-join and top-k."""
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivf_topk(e, e.filter(F.col("vec_id") < 3), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len({(r.query_id, r.item_id) for r in rows}) == len(rows)
+
+
 def test_brute_force_topk_ranks_correctly(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.filter(F.col("vec_id") == 0)
