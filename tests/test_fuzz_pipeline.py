@@ -42,3 +42,53 @@ def test_page_never_raises(doc):
     # triples, if any, are serializable (canonical rows are well-formed)
     for row in res.rows:
         assert row[1] and row[2]
+
+
+# hostile attribute/tag soup for the RDFa + microdata front ends: the
+# lenient html parsers must never raise, and whatever quads survive
+# must be canonicalizable rows
+_ATTRS = st.sampled_from([
+    "property", "typeof", "vocab", "prefix", "about", "resource",
+    "href", "src", "content", "datatype", "lang", "itemscope",
+    "itemtype", "itemprop", "itemid",
+])
+_VALS = st.one_of(
+    st.text(max_size=15),
+    st.sampled_from([
+        "http://schema.org/", "http://schema.org/Person", "name",
+        "schema:x", "[ex:y]", "_:b0", "#frag", "/rel", "", "a b c",
+        "dc: http://purl.org/dc/terms/", "  ", ":", "x:",
+    ]))
+_TAGS = st.sampled_from(["div", "span", "a", "meta", "img", "time", "p"])
+
+
+@st.composite
+def _tag_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 8))):
+        kind = draw(st.integers(0, 3))
+        tag = draw(_TAGS)
+        if kind == 0:
+            attrs = " ".join(
+                f'{draw(_ATTRS)}="{draw(_VALS)}"'
+                for _ in range(draw(st.integers(0, 3))))
+            parts.append(f"<{tag} {attrs}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(st.text(max_size=12)))
+        else:
+            parts.append(draw(st.sampled_from(
+                ["<", ">", "<!---->", "<![CDATA[x]]>", "&amp;", "<x",
+                 '<div itemscope itemprop="name">'])))
+    return "".join(parts)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_tag_soup())
+def test_rdfa_microdata_soup_never_raises(soup):
+    html = f"<html><body>{soup}</body></html>".encode()
+    res = page_to_triples("https://fuzz.example/p", html)
+    assert res.status.startswith(("ok", "empty", "error:"))
+    for row in res.rows:
+        assert row[1] and row[2]
