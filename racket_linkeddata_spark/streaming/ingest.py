@@ -92,15 +92,24 @@ def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
     commit) overwrites exactly its own snap partition instead of
     appending duplicates. ``out_dir`` must be dedicated to one stream:
     streaming batch ids start at 0, which would collide with a batch
-    materialize()'s snapshot numbering in a shared directory."""
+    materialize()'s snapshot numbering in a shared directory.
+
+    The north rule's lineage/metrics contract holds for the streaming
+    path too: each micro-batch also lands ``page_log`` (url, n_triples,
+    canon_hash, status) and per-partition ``lineage`` rows in the same
+    snap-partitioned idempotent layout — so a BATCH resume
+    (operators.lineage.resume_filter) pointed at a streamed store's
+    page_log skips everything the stream already processed, and
+    per-batch metrics survive replay."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import dedup_triples, skolemize_bnodes
     from ..operators.extract import triples_only
+    from ..operators.lineage import page_log, partition_lineage
     from ..plans.kg import nodes_from_triples
 
     def _write_batch(batch_df, batch_id: int):
-        # two sinks consume the batch: pin it so the Arrow extraction
+        # four sinks consume the batch: pin it so the Arrow extraction
         # stage runs once, not once per write
         batch_df = batch_df.localCheckpoint(eager=True)
         snap = F.lit(batch_id).cast("int")
@@ -109,6 +118,13 @@ def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
         # the SAME aggregation the batch plan uses — shared helper, so
         # the streamed nodes table cannot drift from build_kg's
         nodes = nodes_from_triples(triples)
+        for name, df in (("page_log", page_log(batch_df)),
+                         ("lineage",
+                          partition_lineage(batch_df, batch_id))):
+            (df.withColumn("snap", snap)
+             .write.partitionBy("snap").mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(f"{out_dir}/{name}"))
         (edges
          .withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
          .withColumn("snap", snap)

@@ -125,6 +125,28 @@ def test_streaming_kg_ingest_matches_batch_build(spark, tmp_path):
                   for r in batch_nodes.collect()}
     assert got_nodes == want_nodes
 
+    # PAGE LOG + LINEAGE parity (north rule: metrics for the streaming
+    # path too): streamed page_log rows equal the batch run's, total
+    # lineage triple_count matches, and a BATCH resume against the
+    # streamed page_log skips every streamed url
+    from racket_linkeddata_spark.operators.lineage import resume_filter
+    slog = spark.read.parquet(f"{out}/page_log")
+    got_log = {r.url: (r.n_triples, r.canon_hash, r.status)
+               for r in slog.collect()}
+    batch_log = build_kg(synthesize_pages(spark, 70, partitions=2),
+                         persist=False).log
+    want_log = {r.url: (r.n_triples, r.canon_hash, r.status)
+                for r in batch_log.collect()}
+    assert got_log == want_log
+    slin = spark.read.parquet(f"{out}/lineage")
+    assert (slin.agg(F.sum("triple_count")).first()[0]
+            == batch_log.sparkSession.createDataFrame(
+                [(v[0],) for v in want_log.values()], "n long")
+            .agg(F.sum("n")).first()[0])
+    remaining = resume_filter(synthesize_pages(spark, 70, partitions=2),
+                              slog)
+    assert remaining.count() == 0
+
     # restart with no new data: no new snapshots, store unchanged
     snaps_before = {r.snap for r in spark.read.parquet(f"{out}/edges")
                     .select("snap").distinct().collect()}
