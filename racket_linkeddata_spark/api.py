@@ -15,9 +15,11 @@ from .core.flatten import flatten
 from .core.frame import frame
 from .core.from_rdf import from_rdf
 from .core.ld_sigs import sign_jsonld, verify_jsonld
+from .core.microdata import extract_microdata
 from .core.nquads import parse as parse_nquads
 from .core.nquads import serialize as serialize_nquads
 from .core.pipeline import page_to_triples
+from .core.rdfa import extract_rdfa
 from .core.to_rdf import to_rdf
 from .core.urdna2015 import canonical_nquads, canonize_quads
 
@@ -38,11 +40,23 @@ def _lazy_spark():
         flatten_documents,
         normalize_documents,
     )
+    from .operators.graph import connected_components, dedup_keepers
+    from .operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup_lsh,
+        ivf_topk,
+        lsh_topk,
+    )
     from .operators.skew import salted_agg
+    from .operators.textstats import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash,
+    )
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
-    from .streaming.ingest import run_ingest
+    from .streaming.ingest import run_ingest, run_ingest_kg
 
     return locals()
 
@@ -50,8 +64,13 @@ def _lazy_spark():
 def __getattr__(name):
     spark_api = ("extract_triples", "build_kg", "session", "read_nquads",
                  "write_nquads", "synthesize_pages", "run_ingest",
+                 "run_ingest_kg",
                  "expand_documents", "compact_documents",
-                 "flatten_documents", "normalize_documents", "salted_agg")
+                 "flatten_documents", "normalize_documents", "salted_agg",
+                 "brute_force_topk", "lsh_topk", "ivf_topk",
+                 "embedding_near_dup_lsh", "minhash_lsh_candidates",
+                 "ngram_jaccard_pairs", "simhash",
+                 "connected_components", "dedup_keepers")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
@@ -59,9 +78,12 @@ def __getattr__(name):
 
 __all__ = [
     "expand", "compact", "flatten", "frame", "to_rdf", "from_rdf",
-    "normalize",
+    "normalize", "extract_rdfa", "extract_microdata",
     "canonize_quads", "canonical_nquads", "parse_nquads",
     "serialize_nquads", "sign_jsonld", "verify_jsonld", "page_to_triples",
     "extract_triples", "build_kg", "session", "read_nquads",
-    "write_nquads", "synthesize_pages", "run_ingest",
+    "write_nquads", "synthesize_pages", "run_ingest", "run_ingest_kg",
+    "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
+    "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash",
+    "connected_components", "dedup_keepers",
 ]
