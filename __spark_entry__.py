@@ -766,6 +766,55 @@ def q_jsonld_expand_docs(spark, sf_dir):
     return expand_documents(docs)
 
 
+def q_jsonld_compact_docs(spark, sf_dir):
+    """Document-level compaction lifted to a DataFrame op — exact-string
+    oracle (the compacted sort_keys JSON of the wrap doc is
+    deterministic)."""
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        compact_documents)
+
+    d = _docs(spark, sf_dir)
+    jsonld = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG + '"}, "@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'), F.col("lang"), F.lit('"}'))
+    docs = d.select("doc_id", jsonld.alias("doc"))
+    return compact_documents(docs, context={"@vocab": KG})
+
+
+def q_jsonld_flatten_docs(spark, sf_dir):
+    """Document-level flattening lifted to a DataFrame op: a nested node
+    object is pulled up into the flat node array — exact-string
+    oracle."""
+    from racket_linkeddata_spark.operators.jsonld_ops import (
+        flatten_documents)
+
+    d = _docs(spark, sf_dir)
+    jsonld = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG + '"}, "@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'), F.col("lang"),
+        F.lit('", "rel": {"@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('/sub", "lang": "qq"}}'))
+    docs = d.select("doc_id", jsonld.alias("doc"))
+    return flatten_documents(docs)
+
+
+def q_jsonld_frame_docs(spark, sf_dir):
+    """Document-level framing lifted to a DataFrame op — exact-string
+    oracle over the @graph-wrapped framed output."""
+    from racket_linkeddata_spark.operators.jsonld_ops import frame_documents
+
+    d = _docs(spark, sf_dir)
+    jsonld = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG + '"}, "@id": "' + KG + 'doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'), F.col("lang"), F.lit('"}'))
+    docs = d.select("doc_id", jsonld.alias("doc"))
+    return frame_documents(docs, frame={"@context": {"@vocab": KG}})
+
+
 def q_jsonld_normalize_docs(spark, sf_dir):
     """Document-level URDNA2015 normalize lifted to a DataFrame op —
     EXACT-string oracle (the wrap doc is bnode-free, so DuckDB rebuilds
@@ -890,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
+        "jsonld_compact_docs": q_jsonld_compact_docs,
+        "jsonld_flatten_docs": q_jsonld_flatten_docs,
+        "jsonld_frame_docs": q_jsonld_frame_docs,
         "jsonld_normalize_docs": q_jsonld_normalize_docs,
         "skew_salted_domain_rollup": q_skew_salted_domain_rollup,
         "tpch_q1": q_tpch_q1,
@@ -923,6 +975,28 @@ def oracle_sql() -> dict[str, str]:
                    '[{{"@id": "{KG}doc/' || doc_id
                    || '", "{KG}lang": [{{"@value": "' || lang
                    || '"}}]}}]' AS out,
+                   NULL::VARCHAR AS error
+            FROM documents""",
+        "jsonld_compact_docs": f"""
+            SELECT doc_id,
+                   '{{"@context": {{"@vocab": "{KG}"}}, "@id": "{KG}doc/'
+                   || doc_id || '", "lang": "' || lang || '"}}' AS out,
+                   NULL::VARCHAR AS error
+            FROM documents""",
+        "jsonld_flatten_docs": f"""
+            SELECT doc_id,
+                   '[{{"@id": "{KG}doc/' || doc_id
+                   || '", "{KG}lang": [{{"@value": "' || lang
+                   || '"}}], "{KG}rel": [{{"@id": "{KG}doc/' || doc_id
+                   || '/sub"}}]}}, {{"@id": "{KG}doc/' || doc_id
+                   || '/sub", "{KG}lang": [{{"@value": "qq"}}]}}]' AS out,
+                   NULL::VARCHAR AS error
+            FROM documents""",
+        "jsonld_frame_docs": f"""
+            SELECT doc_id,
+                   '{{"@context": {{"@vocab": "{KG}"}}, "@graph": '
+                   || '[{{"@id": "{KG}doc/' || doc_id
+                   || '", "lang": "' || lang || '"}}]}}' AS out,
                    NULL::VARCHAR AS error
             FROM documents""",
         "jsonld_normalize_docs": f"""
