@@ -6,8 +6,10 @@
         [--staging <staging path>] [--resume] [--n-synth 10000]
 
 With --n-synth and no --pages, synthesizes the deterministic test corpus
-first (sandbox use). --resume anti-joins against <out>/page_log from a
-previous run before processing.
+first (sandbox use). --warc <dir> reads raw Common-Crawl-style
+.warc/.warc.gz files instead of a parquet pages table (one file = one
+task). --resume anti-joins against <out>/page_log from a previous run
+before processing.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ from pyspark.sql import SparkSession
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pages")
+    p.add_argument("--warc", help="directory/glob of .warc/.warc.gz "
+                   "files to read as the pages input")
     p.add_argument("--out", required=True)
     p.add_argument("--staging")
     p.add_argument("--resume", action="store_true")
@@ -55,10 +59,13 @@ def main():
 
     if args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.warc:
+        from racket_linkeddata_spark.sources.warc import read_warc
+        pages = read_warc(spark, args.warc)
     elif args.n_synth:
         pages = synthesize_pages(spark, args.n_synth)
     else:
-        raise SystemExit("need --pages or --n-synth")
+        raise SystemExit("need --pages, --warc or --n-synth")
 
     processed_log = None
     snapshot_id = 0

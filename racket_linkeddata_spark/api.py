@@ -56,6 +56,7 @@ def _lazy_spark():
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
+    from .sources.warc import read_warc, write_warc
     from .streaming.ingest import run_ingest, run_ingest_kg
 
     return locals()
@@ -64,7 +65,7 @@ def _lazy_spark():
 def __getattr__(name):
     spark_api = ("extract_triples", "build_kg", "session", "read_nquads",
                  "write_nquads", "synthesize_pages", "run_ingest",
-                 "run_ingest_kg",
+                 "run_ingest_kg", "read_warc", "write_warc",
                  "expand_documents", "compact_documents",
                  "flatten_documents", "normalize_documents", "salted_agg",
                  "brute_force_topk", "lsh_topk", "ivf_topk",
@@ -83,6 +84,7 @@ __all__ = [
     "serialize_nquads", "sign_jsonld", "verify_jsonld", "page_to_triples",
     "extract_triples", "build_kg", "session", "read_nquads",
     "write_nquads", "synthesize_pages", "run_ingest", "run_ingest_kg",
+    "read_warc", "write_warc",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash",
     "connected_components", "dedup_keepers",

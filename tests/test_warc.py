@@ -1,0 +1,117 @@
+"""WARC source: parse semantics + end-to-end parity (KG built from a
+WARC directory == KG built from the same pages directly)."""
+
+import datetime
+import gzip
+
+from pyspark.sql import functions as F
+
+from racket_linkeddata_spark.core.pipeline import extract_text
+from racket_linkeddata_spark.sources.pages import synth_page
+from racket_linkeddata_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    read_warc_log,
+    write_warc,
+)
+
+UTC = datetime.timezone.utc
+
+
+def _mk_records(n, start=0):
+    recs = []
+    for i in range(start, start + n):
+        url, ts, html, _, _ = synth_page(i)
+        recs.append((url, ts.replace(microsecond=0, tzinfo=UTC), html))
+    return recs
+
+
+def test_parse_roundtrip_plain_and_gzip(tmp_path):
+    recs = _mk_records(7)
+    for compress, name in ((False, "a.warc"), (True, "a.warc.gz")):
+        p = str(tmp_path / name)
+        write_warc(recs, p, compress=compress)
+        got, err = parse_warc(open(p, "rb").read())
+        assert err is None
+        assert [(u, t) for u, t, _ in got] == [(u, t) for u, t, _ in recs]
+        assert [h for _, _, h in got] == [h for _, _, h in recs]
+
+
+def test_parse_skips_non_response_records():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nxxxx\r\n\r\n")
+    req = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+           b"WARC-Target-URI: https://e/x\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    resp = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://e/p\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: 47\r\n\r\n"
+            b"HTTP/1.1 200 OK\r\nContent-Length: 9\r\n\r\n<html></h"
+            b"\r\n\r\n")
+    got, err = parse_warc(info + req + resp)
+    assert err is None
+    assert got == [("https://e/p",
+                    datetime.datetime(2024, 1, 2, 3, 4, 5, tzinfo=UTC),
+                    b"<html></h")]
+
+
+def test_parse_truncated_returns_prefix_and_error(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(_mk_records(3), p)
+    data = open(p, "rb").read()
+    got, err = parse_warc(data[: len(data) - 40])
+    assert err is not None and len(got) == 2
+
+
+def test_read_warc_matches_direct_pages(spark, tmp_path):
+    """build_kg over read_warc(dir) == build_kg over the synthesized
+    pages themselves: same edges, and the text invariant holds."""
+    from racket_linkeddata_spark.plans.kg import build_kg
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    recs = _mk_records(40)
+    write_warc(recs[:20], str(wdir / "part-0.warc"))
+    write_warc(recs[20:], str(wdir / "part-1.warc.gz"), compress=True)
+
+    pages = read_warc(spark, str(wdir))
+    rows = pages.collect()
+    assert len(rows) == 40
+    by_url = {r.url: r for r in rows}
+    for url, ts, html in recs:
+        r = by_url[url]
+        assert bytes(r.html) == html
+        assert r.text == extract_text(html)  # invariant by construction
+        # Spark returns session-local naive datetimes (session tz is
+        # UTC in this container)
+        assert r.warc_ts.replace(tzinfo=UTC) == ts
+
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_dt",
+           "obj_lang", "graph"]
+    from_warc = {tuple(r[k] for k in key): r.n_sources
+                 for r in build_kg(pages, persist=False).edges.collect()}
+    direct = spark.createDataFrame(
+        [(u, t, h, extract_text(h), "") for u, t, h in recs],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    want = {tuple(r[k] for k in key): r.n_sources
+            for r in build_kg(direct, persist=False).edges.collect()}
+    assert from_warc == want
+
+
+def test_read_warc_log_flags_bad_file(spark, tmp_path):
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(_mk_records(5), str(wdir / "good.warc"))
+    (wdir / "bad.warc").write_bytes(b"NOT A WARC AT ALL")
+    log = read_warc_log(spark, str(wdir))
+    errs = {r.warc_file.rsplit("/", 1)[-1]: r.warc_error
+            for r in log.select("warc_file", "warc_error")
+            .distinct().collect()}
+    assert errs["good.warc"] is None
+    assert errs["bad.warc"] is not None
+    # clean rows unaffected
+    assert read_warc(spark, str(wdir)).filter(
+        F.col("url").isNotNull()).count() == 5
