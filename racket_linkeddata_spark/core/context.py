@@ -96,6 +96,41 @@ def resolve_iri(base: Optional[str], relative: str) -> str:
     return joined
 
 
+class BaseResolver:
+    """Per-document IRI resolver: same semantics as ``resolve_iri(base,
+    rel)`` with the base fixed, plus O(1) fast paths for the reference
+    patterns that dominate html attribute markup (``#frag``, ``""``,
+    path-absolute ``/p``) — the general case delegates to resolve_iri.
+    Used by the RDFa/microdata front ends where urlsplit-per-attribute
+    was ~16% of per-document cost."""
+
+    __slots__ = ("base", "_fast", "_origin")
+
+    def __init__(self, base: str):
+        self.base = base
+        # fast paths are exact only for a fragment-free hierarchical
+        # base (page urls in practice); anything else takes the general
+        # path, including opaque bases (tag:, urn:)
+        self._fast = "#" not in base
+        self._origin = None
+        try:
+            p = urlsplit(base)
+            if p.scheme and p.netloc:
+                self._origin = f"{p.scheme}://{p.netloc}"
+        except ValueError:
+            pass
+
+    def resolve(self, relative: str) -> str:
+        if self._fast:
+            if relative.startswith("#") or relative == "":
+                return self.base + relative
+            if (self._origin is not None and relative.startswith("/")
+                    and not relative.startswith("//")
+                    and "." not in relative):
+                return self._origin + relative
+        return resolve_iri(self.base, relative)
+
+
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4."""
     output: list = []

@@ -45,7 +45,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
-from .context import is_absolute_iri, resolve_iri
+from .context import BaseResolver, is_absolute_iri
 from .terms import RDF_LANG_STRING, RDF_TYPE, XSD_STRING, Literal, Quad
 
 _VOID = frozenset((
@@ -87,6 +87,7 @@ class _MicrodataParser(HTMLParser):
     def __init__(self, base: str):
         super().__init__(convert_charrefs=True)
         self.base = base
+        self._res = BaseResolver(base)
         self.quads: List[Quad] = []
         self._bnodes = 0
         self._active: List[List[str]] = []
@@ -110,6 +111,12 @@ class _MicrodataParser(HTMLParser):
     def handle_starttag(self, tag: str,
                         attrs: List[Tuple[str, Optional[str]]]) -> None:
         parent = self._stack[-1]
+        if not attrs:
+            # plain structural tag: inherit scope
+            if tag not in _VOID:
+                self._stack.append(_Frame(tag, parent.item,
+                                          parent.vocab, parent.lang))
+            return
         a = {k: (v if v is not None else "") for k, v in attrs}
 
         lang = parent.lang
@@ -123,7 +130,7 @@ class _MicrodataParser(HTMLParser):
         scoped = "itemscope" in a
         new_item = None
         if scoped:
-            new_item = (resolve_iri(self.base, a["itemid"])
+            new_item = (self._res.resolve(a["itemid"])
                         if a.get("itemid") else self._bnode())
             types = [t for t in a.get("itemtype", "").split()
                      if is_absolute_iri(t)]
@@ -144,7 +151,7 @@ class _MicrodataParser(HTMLParser):
                     url_attr = _URL_ATTR.get(tag)
                     obj = None
                     if url_attr and url_attr in a:
-                        obj = resolve_iri(self.base, a[url_attr])
+                        obj = self._res.resolve(a[url_attr])
                     elif tag == "meta" and "content" in a:
                         obj = (Literal(a["content"], RDF_LANG_STRING, lang)
                                if lang

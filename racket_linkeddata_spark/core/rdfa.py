@@ -48,7 +48,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 
-from .context import is_absolute_iri, resolve_iri
+from .context import BaseResolver, is_absolute_iri
 from .terms import RDF_LANG_STRING, RDF_TYPE, XSD_STRING, Literal, Quad
 
 _VOID = frozenset((
@@ -73,6 +73,7 @@ class _RdfaParser(HTMLParser):
     def __init__(self, base: str):
         super().__init__(convert_charrefs=True)
         self.base = base
+        self._res = BaseResolver(base)
         self.quads: List[Quad] = []
         self._bnodes = 0
         self._active: List[List[str]] = []  # open text-capture buffers
@@ -120,13 +121,20 @@ class _RdfaParser(HTMLParser):
             pfx, _, local = value.partition(":")
             if pfx in f.prefixes:
                 return f.prefixes[pfx] + local
-        return resolve_iri(self.base, value)
+        return self._res.resolve(value)
 
     # --- tag handling -----------------------------------------------------
 
     def handle_starttag(self, tag: str,
                         attrs: List[Tuple[str, Optional[str]]]) -> None:
         parent = self._stack[-1]
+        if not attrs:
+            # plain structural tag (most of a real page): inherit scope
+            if tag not in _VOID:
+                self._stack.append(_Frame(tag, parent.subject,
+                                          parent.vocab, parent.prefixes,
+                                          parent.lang))
+            return
         a = {k: (v if v is not None else "") for k, v in attrs}
 
         vocab, prefixes, lang = parent.vocab, parent.prefixes, parent.lang
