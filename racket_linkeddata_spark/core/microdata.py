@@ -15,7 +15,9 @@ Mapping (W3C microdata-to-RDF, second edition):
                            separated); the FIRST type also sets the
                            property vocabulary = the type URL up to and
                            including the last ``/`` or ``#``
-- ``itemprop``             predicate(s): absolute URLs pass through,
+- ``itemprop``             predicate(s): absolute URLs pass through
+                           (scheme-allowlisted, htmlbase.is_term_iri —
+                           ``og:title``-style tokens are NOT URLs),
                            bare names append to the current item's
                            vocabulary (inherited by untyped nested
                            items); value =
@@ -36,22 +38,22 @@ Deliberate simplifications (documented contract):
 - itemprop names on an element outside any itemscope are ignored
   (per spec: no current item, no triple).
 
-Same lenient parsing model as core/rdfa.py (stdlib html.parser; one
-hostile page only fails its own row via page_to_triples' envelope).
+Parsing: stack/capture/void/lenient-pop machinery shared with the RDFa
+extractor (core/htmlbase.py); one hostile page only fails its own row
+via page_to_triples' envelope.
 """
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
-from .context import BaseResolver, is_absolute_iri
-from .terms import RDF_LANG_STRING, RDF_TYPE, XSD_STRING, Literal, Quad
-
-_VOID = frozenset((
-    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
-    "meta", "param", "source", "track", "wbr",
-))
+from .htmlbase import (
+    VOID_ELEMENTS,
+    MarkupExtractor,
+    is_term_iri,
+    make_literal,
+)
+from .terms import RDF_TYPE, Quad
 
 # per-element URL-valued attribute for itemprop values (W3C table)
 _URL_ATTR = {
@@ -83,28 +85,19 @@ class _Frame:
         self.captures = ()
 
 
-class _MicrodataParser(HTMLParser):
-    def __init__(self, base: str):
-        super().__init__(convert_charrefs=True)
-        self.base = base
-        self._res = BaseResolver(base)
-        self.quads: List[Quad] = []
-        self._bnodes = 0
-        self._active: List[List[str]] = []
-        self._stack: List[_Frame] = [_Frame(None, None, None, None)]
+class _MicrodataParser(MarkupExtractor):
+    BNODE_PREFIX = "_:md"
 
-    def _bnode(self) -> str:
-        # "_:md<N>": disjoint from to_rdf's "_:b<N>" and rdfa's
-        # "_:rdfa<N>"; URDNA2015 relabels all three families afterwards
-        self._bnodes += 1
-        return f"_:md{self._bnodes - 1}"
+    def __init__(self, base: str):
+        super().__init__(base)
+        self._stack.append(_Frame(None, None, None, None))
 
     def _props(self, names: str, vocab: Optional[str]) -> List[str]:
         out = []
         for n in names.split():
-            if is_absolute_iri(n):
+            if is_term_iri(n):
                 out.append(n)
-            elif vocab:
+            elif vocab and ":" not in n:
                 out.append(vocab + n)
         return out
 
@@ -113,7 +106,7 @@ class _MicrodataParser(HTMLParser):
         parent = self._stack[-1]
         if not attrs:
             # plain structural tag: inherit scope
-            if tag not in _VOID:
+            if tag not in VOID_ELEMENTS:
                 self._stack.append(_Frame(tag, parent.item,
                                           parent.vocab, parent.lang))
             return
@@ -133,7 +126,7 @@ class _MicrodataParser(HTMLParser):
             new_item = (self._res.resolve(a["itemid"])
                         if a.get("itemid") else self._bnode())
             types = [t for t in a.get("itemtype", "").split()
-                     if is_absolute_iri(t)]
+                     if is_term_iri(t)]
             for t in types:
                 self.quads.append(Quad(new_item, RDF_TYPE, t))
             f.item = new_item
@@ -153,57 +146,25 @@ class _MicrodataParser(HTMLParser):
                     if url_attr and url_attr in a:
                         obj = self._res.resolve(a[url_attr])
                     elif tag == "meta" and "content" in a:
-                        obj = (Literal(a["content"], RDF_LANG_STRING, lang)
-                               if lang
-                               else Literal(a["content"], XSD_STRING))
+                        obj = make_literal(a["content"], None, lang)
                     elif tag == "time" and "datetime" in a:
-                        obj = Literal(a["datetime"], XSD_STRING)
+                        obj = make_literal(a["datetime"], None, None)
                     elif "content" in a:
                         # non-meta content= appears in the wild; honor it
-                        obj = (Literal(a["content"], RDF_LANG_STRING, lang)
-                               if lang
-                               else Literal(a["content"], XSD_STRING))
+                        obj = make_literal(a["content"], None, lang)
                     if obj is not None:
                         for p in props:
                             self.quads.append(Quad(parent.item, p, obj))
                     else:
                         buf: List[str] = []
                         self._active.append(buf)
-                        f.captures = ((parent.item, tuple(props), lang,
-                                       buf),)
+                        f.captures = ((parent.item, tuple(props), None,
+                                       lang, buf),)
 
-        if tag not in _VOID:
+        if tag not in VOID_ELEMENTS:
             self._stack.append(f)
         elif f.captures:
             self._finalize(f)  # void element, no text: empty literal
-
-    def handle_endtag(self, tag: str) -> None:
-        for i in range(len(self._stack) - 1, 0, -1):
-            if self._stack[i].tag == tag:
-                for f in reversed(self._stack[i:]):
-                    self._finalize(f)
-                del self._stack[i:]
-                break
-
-    def handle_data(self, data: str) -> None:
-        for buf in self._active:
-            buf.append(data)
-
-    def _finalize(self, f: _Frame) -> None:
-        for subj, props, lang, buf in f.captures:
-            text = "".join(buf)
-            lit = (Literal(text, RDF_LANG_STRING, lang) if lang
-                   else Literal(text, XSD_STRING))
-            for p in props:
-                self.quads.append(Quad(subj, p, lit))
-            self._active.remove(buf)
-        f.captures = ()
-
-    def close(self) -> None:
-        super().close()
-        for f in reversed(self._stack[1:]):
-            self._finalize(f)
-        del self._stack[1:]
 
 
 def extract_microdata(html: bytes, base: str) -> List[Quad]:

@@ -13,12 +13,14 @@ Implemented (RDFa Lite 1.1 + the Core bits it implies):
 
 - ``vocab``     default vocabulary for bare ``property``/``typeof`` terms
 - ``prefix``    CURIE prefix declarations (``pfx: iri ...`` pairs)
-- ``about``     explicit subject (IRI / CURIE / safe-CURIE / ``_:bnode``)
-- ``typeof``    rdf:type triples; without about/resource mints a bnode
-                (chained as the object when ``property`` is present)
+- ``about``     explicit subject (IRI / CURIE / safe-CURIE / ``_:bnode``);
+                ``typeof`` beside it types THIS subject (no bnode)
+- ``typeof``    rdf:type triples; with neither about nor resource it
+                mints a bnode (chained as the object when ``property``
+                is present — the typed-object pattern)
 - ``property``  predicate(s); object = resource/href/src IRI if present,
-                else typed-bnode chain, else ``content`` attr, else the
-                element's concatenated text content
+                else the typed-bnode chain, else ``content`` attr, else
+                the element's concatenated text content
 - ``resource`` / ``href`` / ``src``  object IRI (also the subject for
                 descendants, RDFa Core's "current object resource")
 - ``datatype``  typed literals (empty string forces a plain literal)
@@ -32,29 +34,31 @@ Core that Common-Crawl-style markup essentially never exercises):
 - no W3C "initial context" prefix set: prefixes must be declared with
   ``prefix=`` (or come from ``vocab``) — keeps extraction deterministic
   with zero bundled registry;
+- an UNDECLARED prefix:name in term position is accepted only when its
+  scheme is a registered IRI scheme (htmlbase.is_term_iri) — otherwise
+  the og:/twitter:/fb: conventions on real pages would flood the KG
+  with pseudo-IRI predicates;
 - text-content literals are the element's raw concatenated character
   data (no whitespace normalization), matching DOM textContent;
 - unresolvable terms/CURIEs are skipped silently (per spec).
 
-Parsing uses the stdlib html.parser (lenient on malformed markup:
-unclosed tags pop to the nearest matching open tag, stray end tags are
-ignored, void elements never push scope). One hostile page can still
-only fail its own row: page_to_triples wraps extraction in the
-per-document error envelope.
+Parsing: stack/capture/void/lenient-pop machinery shared with the
+microdata extractor (core/htmlbase.py). One hostile page can still only
+fail its own row: page_to_triples wraps extraction in the per-document
+error envelope.
 """
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
-from .context import BaseResolver, is_absolute_iri
-from .terms import RDF_LANG_STRING, RDF_TYPE, XSD_STRING, Literal, Quad
-
-_VOID = frozenset((
-    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
-    "meta", "param", "source", "track", "wbr",
-))
+from .htmlbase import (
+    VOID_ELEMENTS,
+    MarkupExtractor,
+    is_term_iri,
+    make_literal,
+)
+from .terms import RDF_TYPE, Quad
 
 
 class _Frame:
@@ -69,24 +73,14 @@ class _Frame:
         self.captures = ()          # text-literal captures owned by this tag
 
 
-class _RdfaParser(HTMLParser):
+class _RdfaParser(MarkupExtractor):
+    BNODE_PREFIX = "_:rdfa"
+
     def __init__(self, base: str):
-        super().__init__(convert_charrefs=True)
-        self.base = base
-        self._res = BaseResolver(base)
-        self.quads: List[Quad] = []
-        self._bnodes = 0
-        self._active: List[List[str]] = []  # open text-capture buffers
-        root = _Frame(None, base, None, {}, None)
-        self._stack: List[_Frame] = [root]
+        super().__init__(base)
+        self._stack.append(_Frame(None, base, None, {}, None))
 
     # --- term / IRI resolution -------------------------------------------
-
-    def _bnode(self) -> str:
-        # "_:rdfa<N>" cannot collide with to_rdf's JSON-LD issuer labels
-        # ("_:b<N>"); URDNA2015 relabels both to _:c14n<N> afterwards
-        self._bnodes += 1
-        return f"_:rdfa{self._bnodes - 1}"
 
     def _expand_term(self, term: str, f: _Frame) -> Optional[str]:
         """property/typeof/datatype position: TERMorCURIEorAbsIRI."""
@@ -100,7 +94,7 @@ class _RdfaParser(HTMLParser):
                 return None  # bnodes are not predicates/types
             if pfx in f.prefixes:
                 return f.prefixes[pfx] + local
-            return term if is_absolute_iri(term) else None
+            return term if is_term_iri(term) else None
         return f.vocab + term if f.vocab else None
 
     def _resolve_ref(self, value: str, f: _Frame,
@@ -130,7 +124,7 @@ class _RdfaParser(HTMLParser):
         parent = self._stack[-1]
         if not attrs:
             # plain structural tag (most of a real page): inherit scope
-            if tag not in _VOID:
+            if tag not in VOID_ELEMENTS:
                 self._stack.append(_Frame(tag, parent.subject,
                                           parent.vocab, parent.prefixes,
                                           parent.lang))
@@ -171,21 +165,26 @@ class _RdfaParser(HTMLParser):
 
         if props:
             subj = about if about is not None else parent.subject
+            # typeof target (RDFa Core "typed resource"): about wins,
+            # then the object resource, then a minted bnode — the bnode
+            # only exists when NEITHER about nor resource is given
+            typed_node = None
+            if "typeof" in a:
+                typed_node = (about if about is not None
+                              else obj_iri if obj_iri is not None
+                              else self._bnode())
+                for t in types:
+                    self.quads.append(Quad(typed_node, RDF_TYPE, t))
             obj: object = None
             if obj_iri is not None:
                 obj = obj_iri
-            elif "typeof" in a:
-                obj = self._bnode()  # typed-object chaining
+            elif typed_node is not None and about is None:
+                obj = typed_node  # typed-object (bnode) chaining
             elif "content" in a:
-                obj = (Literal(a["content"], dt) if dt
-                       else Literal(a["content"], RDF_LANG_STRING, lang)
-                       if lang else Literal(a["content"], XSD_STRING))
+                obj = make_literal(a["content"], dt, lang)
             if obj is not None:
                 for p in props:
                     self.quads.append(Quad(subj, p, obj))
-                if types:
-                    for t in types:
-                        self.quads.append(Quad(obj, RDF_TYPE, t))
                 # RDFa Core: the object resource is the parent object
                 # for descendants
                 f.subject = obj if isinstance(obj, str) else subj
@@ -208,43 +207,11 @@ class _RdfaParser(HTMLParser):
             # descendants; bare href/src (plain links) do not
             f.subject = obj_iri
 
-        if tag not in _VOID:
+        if tag not in VOID_ELEMENTS:
             self._stack.append(f)
         elif f.captures:
             # property-without-object on a void element: empty literal
             self._finalize(f)
-
-    def handle_endtag(self, tag: str) -> None:
-        # lenient pop: close to the nearest matching open tag; ignore a
-        # stray end tag entirely (never pop the root)
-        for i in range(len(self._stack) - 1, 0, -1):
-            if self._stack[i].tag == tag:
-                for f in reversed(self._stack[i:]):
-                    self._finalize(f)
-                del self._stack[i:]
-                break
-
-    def handle_data(self, data: str) -> None:
-        for buf in self._active:
-            buf.append(data)
-
-    def _finalize(self, f: _Frame) -> None:
-        for subj, props, dt, lang, buf in f.captures:
-            text = "".join(buf)
-            lit = (Literal(text, dt) if dt
-                   else Literal(text, RDF_LANG_STRING, lang)
-                   if lang else Literal(text, XSD_STRING))
-            for p in props:
-                self.quads.append(Quad(subj, p, lit))
-            self._active.remove(buf)
-        f.captures = ()
-
-    def close(self) -> None:
-        super().close()
-        # unclosed tags at EOF: finalize any pending text literals
-        for f in reversed(self._stack[1:]):
-            self._finalize(f)
-        del self._stack[1:]
 
 
 def extract_rdfa(html: bytes, base: str) -> List[Quad]:

@@ -203,11 +203,19 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     from .util import ensure_parallelism
 
+    # cell ids stay LONG end-to-end: an int cast would error under ANSI
+    # mode (Spark 4 default) for hash-derived ids past 2^31, or worse,
+    # silently wrap and merge distinct cells with ANSI off
     cent_rows = (embeddings
                  .filter(F.col(id_col) % centroid_mod == 0)
-                 .select(F.col(id_col).cast("int"),
+                 .select(F.col(id_col).cast("long"),
                          F.col(vec_col).cast("array<double>"))
                  .orderBy(id_col).collect())
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_topk: no centroids sampled — no {id_col} divisible by "
+            f"centroid_mod={centroid_mod}; lower centroid_mod or supply "
+            "a corpus whose ids cover it")
     cent_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
     cent = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
     cent_n = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T
@@ -215,7 +223,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     def _cells_udf(n: int):
         """Top-n centroid cells per vector (n=1: corpus assignment;
         n=nprobe: query probe). One matmul per Arrow batch."""
-        @F.pandas_udf("array<int>")
+        @F.pandas_udf("array<long>")
         def cells(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
@@ -225,7 +233,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             # order: sim desc, centroid id asc — centroids are id-sorted,
             # so a STABLE sort on -sims breaks ties by ascending id
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(cent_ids[order].astype("int32")))
+            return pd.Series(list(cent_ids[order]))
         return cells
 
     corpus = ensure_parallelism(embeddings).select(

@@ -91,6 +91,10 @@ def parse_warc(data: bytes) -> Tuple[List[Tuple[str, Optional[
             length = int(headers.get("content-length", ""))
         except ValueError:
             return out, "missing/invalid Content-Length"
+        if length < 0:
+            # a negative length would rewind pos — an infinite loop, a
+            # hung executor task, and no exception for the envelope
+            return out, "negative Content-Length"
         body_start = hdr_end + 4
         if body_start + length > n:
             return out, "truncated record payload"
@@ -112,8 +116,16 @@ def parse_warc(data: bytes) -> Tuple[List[Tuple[str, Optional[
 
 def read_warc(spark, path: str):
     """Directory (or glob) of .warc/.warc.gz files -> pages DataFrame
-    ``(url, warc_ts, html, text, lang)``. One file = one task."""
-    return _read(spark, path).drop("warc_file", "warc_error")
+    ``(url, warc_ts, html, text, lang)``. One file = one task.
+
+    Only real page rows: the all-null marker row a corrupt file leaves
+    in read_warc_log is filtered here — it would otherwise reach
+    page_to_triples as (None, None) and kill the extraction task."""
+    from pyspark.sql import functions as F
+
+    return (_read(spark, path)
+            .filter(F.col("url").isNotNull())
+            .drop("warc_file", "warc_error"))
 
 
 def read_warc_log(spark, path: str):

@@ -100,6 +100,17 @@ def test_bare_itemprop_without_vocabulary_skipped():
     assert got == []
 
 
+def test_itemprop_undeclared_prefix_token_skipped():
+    """Review r04: itemprop="og:title"-style tokens are not URLs; they
+    must not become pseudo-IRI predicates (nor be vocab-appended)."""
+    got = _q('<div itemscope itemtype="http://schema.org/Thing" '
+             'itemid="#a"><meta itemprop="og:title" content="T">'
+             '<meta itemprop="name" content="N"></div>')
+    preds = {q.pred for q in got}
+    assert "og:title" not in preds and SCHEMA + "og:title" not in preds
+    assert SCHEMA + "name" in preds
+
+
 def test_itemprop_outside_itemscope_ignored():
     assert _q('<span itemprop="name">Ada</span>') == []
 

@@ -81,6 +81,38 @@ def test_typeof_without_subject_mints_bnode_and_chains():
     assert Quad(b, SCHEMA + "name", Literal("Ada", XSD_STRING)) in got
 
 
+def test_about_typeof_property_types_subject_keeps_literal():
+    """Review r04: about+typeof+property on ONE element must type the
+    about subject (no bnode) and keep the property literal."""
+    got = _q('<div vocab="http://schema.org/" about="#x" typeof="Person" '
+             'property="name" content="Bob"></div>')
+    assert set(got) == {
+        Quad(BASE + "#x", RDF_TYPE, SCHEMA + "Person"),
+        Quad(BASE + "#x", SCHEMA + "name", Literal("Bob", XSD_STRING)),
+    }
+    # text-content variant: literal captured, still no bnode
+    got2 = _q('<div vocab="http://schema.org/" about="#x" '
+              'typeof="Person" property="name">Bob</div>')
+    assert set(got2) == set(got)
+
+
+def test_undeclared_social_prefixes_skipped():
+    """Review r04: og:/twitter:/fb: tokens without a prefix declaration
+    must not become pseudo-IRI predicates; a DECLARED og: prefix and a
+    real scheme still work."""
+    got = _q('<head><meta property="og:title" content="My Page">'
+             '<meta property="twitter:card" content="summary"></head>')
+    assert got == []
+    got = _q('<div prefix="og: http://ogp.me/ns#" about="#a">'
+             '<meta property="og:title" content="T"></div>')
+    assert got == [Quad(BASE + "#a", "http://ogp.me/ns#title",
+                        Literal("T", XSD_STRING))]
+    got = _q('<span about="#a" property="urn:example:p" content="x">'
+             '</span>')
+    assert got == [Quad(BASE + "#a", "urn:example:p",
+                        Literal("x", XSD_STRING))]
+
+
 def test_property_resource_sets_object_and_child_subject():
     got = _q('<div vocab="http://schema.org/" about="#a">'
              '<div property="publisher" resource="#org">'

@@ -44,6 +44,19 @@ def test_ivf_recall_vs_brute_force(spark):
     assert full == exact
 
 
+def test_ivf_empty_centroid_sample_clear_error(spark):
+    """Review r04: a corpus with no id divisible by centroid_mod must
+    raise a clear ValueError, not an opaque numpy AxisError."""
+    import pytest
+
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .filter((F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 90)))
+    with pytest.raises(ValueError, match="no centroids sampled"):
+        ivf_topk(e, e.limit(2), k=3)
+
+
 def test_ivf_candidates_need_no_dedup(spark):
     """Cells PARTITION the corpus: every item lands in exactly one
     cell, so (query, item) candidates are unique by construction and

@@ -57,6 +57,16 @@ def test_parse_skips_non_response_records():
                     b"<html></h")]
 
 
+def test_parse_negative_content_length_no_hang():
+    """A negative Content-Length must error out, not rewind pos into an
+    infinite loop (review r04: hung executor task, no exception)."""
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://e/p\r\n"
+           b"Content-Length: -84\r\n\r\n")
+    got, err = parse_warc(rec)
+    assert got == [] and "negative" in err
+
+
 def test_parse_truncated_returns_prefix_and_error(tmp_path):
     p = str(tmp_path / "t.warc")
     write_warc(_mk_records(3), p)
@@ -112,6 +122,11 @@ def test_read_warc_log_flags_bad_file(spark, tmp_path):
             .distinct().collect()}
     assert errs["good.warc"] is None
     assert errs["bad.warc"] is not None
-    # clean rows unaffected
-    assert read_warc(spark, str(wdir)).filter(
-        F.col("url").isNotNull()).count() == 5
+    # read_warc yields ONLY real page rows (the bad file's marker row
+    # must not reach page_to_triples as (None, None)) — and the whole
+    # KG build over the mixed directory succeeds
+    from racket_linkeddata_spark.plans.kg import build_kg
+
+    pages = read_warc(spark, str(wdir))
+    assert pages.count() == 5
+    assert build_kg(pages, persist=False).edges.count() > 0
