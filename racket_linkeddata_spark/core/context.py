@@ -122,7 +122,9 @@ class BaseResolver:
 
     def resolve(self, relative: str) -> str:
         if self._fast:
-            if relative.startswith("#") or relative == "":
+            # bare "#" excluded: urljoin (and so resolve_iri) drops it
+            if (relative.startswith("#") and len(relative) > 1) \
+                    or relative == "":
                 return self.base + relative
             if (self._origin is not None and relative.startswith("/")
                     and not relative.startswith("//")

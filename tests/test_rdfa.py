@@ -182,6 +182,26 @@ def test_safe_curie_about():
                         Literal("x", XSD_STRING))]
 
 
+def test_base_resolver_parity_with_resolve_iri():
+    """The front ends' BaseResolver fast paths must agree with
+    core.context.resolve_iri on every reference shape, for every base
+    shape (fragment-free http, fragmented http, opaque urn/tag)."""
+    from racket_linkeddata_spark.core.context import (
+        BaseResolver, resolve_iri)
+
+    bases = ["https://ex.org/a/b", "https://ex.org/a/b#frag",
+             "https://ex.org", "tag:example,2024:x",
+             "urn:uuid:1234", "https://u:p@ex.org:8443/q?x=1"]
+    refs = ["", "#x", "/p/q", "/p/q.html", "//other.org/r", "r/s",
+            "../up", "./here", "?query", "/a/./b", "/a/../b",
+            "https://abs.example/p", "_:b0", "#", "/"]
+    for base in bases:
+        r = BaseResolver(base)
+        for ref in refs:
+            assert r.resolve(ref) == resolve_iri(base, ref), \
+                f"divergence: base={base!r} ref={ref!r}"
+
+
 # --- pipeline integration -------------------------------------------------
 
 
