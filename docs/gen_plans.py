@@ -59,6 +59,14 @@ def main():
              fromlist=["lsh_topk"]).lsh_topk(
                  e, e.filter("vec_id < 5"), k=5))(
                      spark.read.parquet(f"{sf}/embeddings.parquet")), 80)),
+        ("ANN ivf_topk: broadcast probe-cells join on cell id, NO "
+         "dedup aggregate between probe and top-k (cells partition the "
+         "corpus, so candidates are unique by construction)",
+         cap((lambda e: __import__(
+             "racket_linkeddata_spark.operators.similarity",
+             fromlist=["ivf_topk"]).ivf_topk(
+                 e, e.filter("vec_id < 5"), k=5))(
+                     spark.read.parquet(f"{sf}/embeddings.parquet")), 80)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "
