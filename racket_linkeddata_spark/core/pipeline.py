@@ -36,6 +36,38 @@ _BODY_RE = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
 _RDFA_HINT_RE = re.compile(rb"(?:property|typeof|vocab)\s*=", re.IGNORECASE)
 _MICRODATA_HINT_RE = re.compile(rb"itemscope", re.IGNORECASE)
 
+# charset sniff: matches both <meta charset="x"> and
+# <meta http-equiv=... content="text/html; charset=x">
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
+                         re.IGNORECASE)
+_UTF8_NAMES = frozenset(("utf-8", "utf8", "ascii", "us-ascii"))
+
+
+def decode_html(html: bytes) -> bytes:
+    """Normalize page bytes to utf-8 for the extractors (real crawls are
+    not all utf-8; a utf-16 or legacy-charset page would otherwise
+    extract garbage). BOM > NUL-pattern (BOM-less utf-16) > <meta>
+    charset within the first 2 KB; ascii-compatible/utf-8 pages — the
+    overwhelming majority — pass through UNCHANGED (three startswith
+    checks + one bounded regex search, no copy)."""
+    if html.startswith(b"\xef\xbb\xbf"):
+        return html[3:]
+    if html.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return html.decode("utf-16", "replace").encode("utf-8")
+    if html.startswith(b"<\x00"):
+        return html.decode("utf-16-le", "replace").encode("utf-8")
+    if html.startswith(b"\x00<"):
+        return html.decode("utf-16-be", "replace").encode("utf-8")
+    m = _CHARSET_RE.search(html, 0, 2048)
+    if m:
+        enc = m.group(1).decode("latin-1").lower()
+        if enc not in _UTF8_NAMES:
+            try:
+                return html.decode(enc, "replace").encode("utf-8")
+            except LookupError:
+                pass  # unknown label: fall through as-is
+    return html
+
 
 def extract_jsonld_scripts(html: bytes) -> List[str]:
     """Pull embedded JSON-LD script payloads out of an html page."""
@@ -69,6 +101,7 @@ def page_to_triples(
     per-document call (north rule confinement); blank labels are
     ``_:c14n<N>``, deterministic for the document in isolation.
     """
+    html = decode_html(html)
     scripts = extract_jsonld_scripts(html)
     quads: List[Quad] = []
     status = "ok"

@@ -1,0 +1,82 @@
+"""Charset normalization for the html front ends: non-utf8 crawl pages
+must extract the same triples as their utf-8 twins."""
+
+import json
+
+from racket_linkeddata_spark.core.pipeline import (
+    decode_html,
+    page_to_triples,
+)
+
+URL = "https://ex.org/p"
+DOC = {"@id": "https://ex.org/p#s",
+       "http://schema.org/name": "café — namé"}
+HTML = ('<html><head><script type="application/ld+json">'
+        + json.dumps(DOC, ensure_ascii=False)
+        + '</script></head><body>t</body></html>')
+
+
+def _rows(html_bytes):
+    res = page_to_triples(URL, html_bytes)
+    assert res.status == "ok", res.status
+    return {(r[1], r[2], r[4]) for r in res.rows}
+
+
+def test_utf8_passthrough_unchanged():
+    b = HTML.encode("utf-8")
+    assert decode_html(b) is b  # zero-copy for the common case
+
+
+def test_utf8_bom_stripped():
+    assert _rows(b"\xef\xbb\xbf" + HTML.encode("utf-8")) \
+        == _rows(HTML.encode("utf-8"))
+
+
+def test_utf16_bom_pages_extract():
+    for enc in ("utf-16", "utf-16-le", "utf-16-be"):
+        data = HTML.encode(enc)
+        if not data.startswith((b"\xff\xfe", b"\xfe\xff")):
+            continue
+        assert _rows(data) == _rows(HTML.encode("utf-8")), enc
+
+
+def test_bomless_utf16_sniffed_by_leading_nul_pattern():
+    le = HTML.encode("utf-16-le")
+    be = HTML.encode("utf-16-be")
+    assert not le.startswith(b"\xff\xfe") and le.startswith(b"<\x00")
+    assert _rows(le) == _rows(HTML.encode("utf-8"))
+    assert _rows(be) == _rows(HTML.encode("utf-8"))
+
+
+def test_meta_charset_legacy_page():
+    html = ('<html><head><meta charset="windows-1252">'
+            '<script type="application/ld+json">'
+            '{"@id": "https://ex.org/p#s", '
+            '"http://schema.org/name": "café"}'
+            '</script></head><body>t</body></html>')
+    legacy = html.encode("windows-1252")
+    want = _rows(html.encode("utf-8").replace(
+        b'charset="windows-1252"', b'charset="utf-8"'))
+    assert _rows(legacy) == want
+    # the e-acute survives as the real character, not mojibake
+    assert any("café" in v for _, _, v in _rows(legacy))
+
+
+def test_meta_http_equiv_content_charset():
+    html = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            '<body><div vocab="http://schema.org/" about="#a">'
+            '<span property="name" content="namé"></span>'
+            '</div></body></html>')
+    res = page_to_triples(URL, html.encode("iso-8859-1"))
+    assert res.status == "ok"
+    assert any("namé" in (r[4] or "") for r in res.rows)
+
+
+def test_unknown_charset_label_falls_through():
+    html = ('<html><head><meta charset="x-bogus-enc"></head><body>'
+            '<script type="application/ld+json">'
+            '{"@id": "https://e/x", "http://s/p": 1}</script>'
+            '</body></html>')
+    res = page_to_triples(URL, html.encode("utf-8"))
+    assert res.status == "ok" and res.n_triples == 1
