@@ -502,6 +502,42 @@ def q_kg_entity_link(spark, sf_dir):
             .groupBy("obj_value").agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup: two deterministic messy variants per
+    logical resource (case-varied host, default port, shuffled +
+    tracking-polluted query, fragment) must collapse to one canonical
+    key. Oracle derives ground truth INDEPENDENTLY (constructs the
+    expected canonical string, does not reimplement the operator)."""
+    from racket_linkeddata_spark.operators.urlnorm import (
+        dedup_by_canonical_url)
+
+    d = _docs(spark, sf_dir)
+    key = (F.col("doc_id") % 250).cast("string")
+    messy = F.when(
+        F.col("doc_id") < 250,
+        F.concat(F.lit("https://EX.example.org:443/item/"), key,
+                 F.lit("?b=2&a=1&utm_source=x#top"))
+    ).otherwise(
+        F.concat(F.lit("https://ex.EXAMPLE.org/item/"), key,
+                 F.lit("?a=1&b=2&gclid=zz")))
+    return dedup_by_canonical_url(d.select(messy.alias("url")))
+
+
+_ORACLE_URL_CANON = """
+WITH u AS (
+  SELECT doc_id % 250 AS key,
+         CASE WHEN doc_id < 250
+           THEN 'https://EX.example.org:443/item/' || (doc_id % 250)
+                || '?b=2&a=1&utm_source=x#top'
+           ELSE 'https://ex.EXAMPLE.org/item/' || (doc_id % 250)
+                || '?a=1&b=2&gclid=zz' END AS url
+  FROM documents)
+SELECT 'https://ex.example.org/item/' || key || '?a=1&b=2' AS canon_url,
+       min(url) AS keep_url, count(*) AS n_variants
+FROM u GROUP BY key
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (d.groupBy(F.substring("text", 1, 30).alias("text_prefix"))
@@ -920,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mixed_formats": q_kg_mixed_formats,
         "kg_entity_link": q_kg_entity_link,
         "dedup_exact": q_dedup_exact,
+        "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1010,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_link": f"""
             SELECT 'http://schema.org/CreativeWork' AS obj_value,
                    count(*) AS n FROM documents""",
+        "dedup_url_canonical": _ORACLE_URL_CANON,
         "dedup_exact": """
             SELECT substr(text, 1, 30) AS text_prefix,
                    min(doc_id) AS keep_id, count(*) AS n_dups

@@ -48,6 +48,7 @@ def _lazy_spark():
         lsh_topk,
     )
     from .operators.skew import salted_agg
+    from .operators.urlnorm import canonical_url, dedup_by_canonical_url
     from .operators.textstats import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
@@ -71,7 +72,8 @@ def __getattr__(name):
                  "brute_force_topk", "lsh_topk", "ivf_topk",
                  "embedding_near_dup_lsh", "minhash_lsh_candidates",
                  "ngram_jaccard_pairs", "simhash",
-                 "connected_components", "dedup_keepers")
+                 "connected_components", "dedup_keepers",
+                 "canonical_url", "dedup_by_canonical_url")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
@@ -88,4 +90,5 @@ __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash",
     "connected_components", "dedup_keepers",
+    "canonical_url", "dedup_by_canonical_url",
 ]

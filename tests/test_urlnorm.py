@@ -1,0 +1,63 @@
+"""URL canonicalization semantics (operators/urlnorm.py)."""
+
+from pyspark.sql import functions as F
+
+from racket_linkeddata_spark.operators.urlnorm import (
+    canonical_url,
+    dedup_by_canonical_url,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url(F.col("url"))
+                                   .alias("c")).collect()]
+
+
+def test_case_port_fragment_tracking_and_order(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.Example.ORG:443/Path/X?b=2&utm_source=tw&a=1#frag",
+        "http://ex.org:80/p",
+        "http://ex.org:8080/p",            # non-default port kept
+        "https://ex.org",                  # empty path -> /
+        "https://ex.org?z=1&y=2",          # query straight after host
+        "https://ex.org/p?utm_campaign=x", # all-tracking query drops ?
+        "https://user:pw@EX.org/p",        # userinfo kept, host lowered
+        "https://ex.org/p?gclid=1&fbclid=2&keep=3",
+    ])
+    assert got == [
+        "https://www.example.org/Path/X?a=1&b=2",
+        "http://ex.org/p",
+        "http://ex.org:8080/p",
+        "https://ex.org/",
+        "https://ex.org/?y=2&z=1",
+        "https://ex.org/p",
+        "https://user:pw@ex.org/p",
+        "https://ex.org/p?keep=3",
+    ]
+
+
+def test_path_case_and_param_values_preserved(spark):
+    # path stays case-sensitive; values (incl. '=' inside) untouched;
+    # param sort is byte-wise ('2' < '='), not name-wise
+    got = _canon(spark, ["https://e.org/CaseSensitive?q=A%3Db&q2==x"])
+    assert got == ["https://e.org/CaseSensitive?q2==x&q=A%3Db"]
+
+
+def test_dedup_collapses_variants(spark):
+    pages = spark.createDataFrame(
+        [("https://EX.org:443/a?b=1&a=2&utm_source=x#f",),
+         ("https://ex.org/a?a=2&b=1",),
+         ("https://ex.org/other",)], "url string")
+    rows = {r.canon_url: (r.keep_url, r.n_variants)
+            for r in dedup_by_canonical_url(pages).collect()}
+    assert rows["https://ex.org/a?a=2&b=1"] == (
+        "https://EX.org:443/a?b=1&a=2&utm_source=x#f", 2)
+    assert rows["https://ex.org/other"][1] == 1
+
+
+def test_all_column_algebra_no_python(spark):
+    pages = spark.createDataFrame([("https://e/x",)], "url string")
+    plan = (dedup_by_canonical_url(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "Arrow" not in plan
