@@ -146,6 +146,43 @@ def test_compaction_crash_recovery_all_states(spark, tmp_path):
     assert {tuple(r) for r in read_edges(spark, out).collect()} == want
 
 
+def test_kg_job_warc_input(spark, tmp_path):
+    """kg_job --warc: the spark-submit entry builds the same KG from a
+    raw WARC directory as from the equivalent pages table."""
+    import datetime
+    import os
+    import subprocess
+    import sys
+
+    from racket_linkeddata_spark.sources.pages import synth_page
+    from racket_linkeddata_spark.sources.warc import write_warc
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    recs = []
+    for i in range(30):
+        url, ts, html, _, _ = synth_page(i)
+        recs.append((url, ts.replace(microsecond=0,
+                                     tzinfo=datetime.timezone.utc), html))
+    write_warc(recs, str(wdir / "a.warc"))
+    (wdir / "junk.warc").write_bytes(b"NOT A WARC")  # must be isolated
+
+    out = str(tmp_path / "kg")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run = subprocess.run(
+        [sys.executable, "/root/repo/jobs/kg_job.py",
+         "--warc", str(wdir), "--out", out],
+        env=env, capture_output=True, text=True)
+    assert run.returncode == 0, run.stderr[-2000:]
+
+    from racket_linkeddata_spark.plans.kg import build_kg, read_edges
+    got = read_edges(spark, out).agg({"n_sources": "sum"}).first()[0]
+    direct = build_kg(synthesize_pages(spark, 30, partitions=2),
+                      persist=False).edges \
+        .agg({"n_sources": "sum"}).first()[0]
+    assert got == direct
+
+
 def test_resume_aborts_when_lineage_unreadable(spark, tmp_path):
     """Round-2 ADVICE: if page_log loads but lineage is missing/corrupt
     (crash between materialize's writes), --resume must abort, NOT fall
