@@ -36,11 +36,22 @@ _BODY_RE = re.compile(rb"<body[^>]*>(.*)</body>", re.DOTALL | re.IGNORECASE)
 _RDFA_HINT_RE = re.compile(rb"(?:property|typeof|vocab)\s*=", re.IGNORECASE)
 _MICRODATA_HINT_RE = re.compile(rb"itemscope", re.IGNORECASE)
 
-# charset sniff: matches both <meta charset="x"> and
-# <meta http-equiv=... content="text/html; charset=x">
-_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
-                         re.IGNORECASE)
-_UTF8_NAMES = frozenset(("utf-8", "utf8", "ascii", "us-ascii"))
+# charset sniff: anchored on a <meta ...> tag (like browsers' prescan)
+# so a form accept-charset, a comment, or 'charset=' text inside a
+# JSON-LD payload can never trigger a transcode; matches both
+# <meta charset="x"> and <meta http-equiv=... content="...; charset=x">
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,256}?charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
+    re.IGNORECASE)
+# pass-through labels: utf-8 family, and (per WHATWG) utf-16/32 labels
+# — a page whose <meta> is byte-readable cannot actually BE utf-16
+# (real utf-16 was caught by the BOM/NUL branches above), so trusting
+# the label would garble a mislabeled utf-8 page
+_UTF8_NAMES = frozenset((
+    "utf-8", "utf8", "ascii", "us-ascii",
+    "utf-16", "utf16", "utf-16le", "utf-16be",
+    "utf-32", "utf32", "utf-32le", "utf-32be", "unicode",
+))
 
 
 def decode_html(html: bytes) -> bytes:
@@ -49,7 +60,9 @@ def decode_html(html: bytes) -> bytes:
     extract garbage). BOM > NUL-pattern (BOM-less utf-16) > <meta>
     charset within the first 2 KB; ascii-compatible/utf-8 pages — the
     overwhelming majority — pass through UNCHANGED (three startswith
-    checks + one bounded regex search, no copy)."""
+    checks + one bounded regex search, no copy). NEVER raises: a bogus
+    charset label (including Python's booby-trapped 'undefined' codec)
+    falls through to the bytes as-is."""
     if html.startswith(b"\xef\xbb\xbf"):
         return html[3:]
     if html.startswith((b"\xff\xfe", b"\xfe\xff")):
@@ -64,8 +77,8 @@ def decode_html(html: bytes) -> bytes:
         if enc not in _UTF8_NAMES:
             try:
                 return html.decode(enc, "replace").encode("utf-8")
-            except LookupError:
-                pass  # unknown label: fall through as-is
+            except (LookupError, UnicodeError, ValueError):
+                pass  # unknown/hostile label: fall through as-is
     return html
 
 
@@ -101,11 +114,13 @@ def page_to_triples(
     per-document call (north rule confinement); blank labels are
     ``_:c14n<N>``, deterministic for the document in isolation.
     """
-    html = decode_html(html)
-    scripts = extract_jsonld_scripts(html)
     quads: List[Quad] = []
     status = "ok"
     try:
+        # inside the envelope: one hostile page (e.g. a booby-trapped
+        # charset label) must only fail its own row
+        html = decode_html(html)
+        scripts = extract_jsonld_scripts(html)
         for script in scripts:
             try:
                 doc = json.loads(script)

@@ -37,16 +37,34 @@ def canonical_url(c: Column) -> Column:
     rest = F.regexp_replace(c, _SCHEME_RE, "")
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
     pathq = F.substring(rest, F.length(authority) + 1, 1 << 30)
-    # authority = [userinfo@]host[:port]; host lowercases, port drops
-    # when it is the scheme default
+    # authority = [userinfo@]host[:port]; host lowercases, the port
+    # drops only when it is the scheme default. IPv6 literals keep
+    # their brackets (the colons inside are NOT a port separator), and
+    # anything that is not cleanly host[:digits] is preserved verbatim
+    # (lowercased) — a malformed authority must never collapse two
+    # distinct servers into one canonical key.
     userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
     hostport = F.regexp_replace(authority, r"^.*@", "")
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    bracket_host = F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+    plain_host = F.regexp_extract(hostport, r"^([^:\[]*)", 1)
+    host = F.lower(F.when(bracket_host != "", bracket_host)
+                   .otherwise(plain_host))
+    port_rest = F.when(
+        bracket_host != "",
+        F.substring(hostport, F.length(bracket_host) + 1, 1 << 30)
+    ).otherwise(F.substring(hostport, F.length(plain_host) + 1, 1 << 30))
+    port = F.regexp_extract(port_rest, r"^:(\d+)$", 1)
+    well_formed = (port_rest == "") | (port != "")
     default_port = ((scheme == "http") & (port == "80")) | \
         ((scheme == "https") & (port == "443")) | (port == "")
-    port_part = F.when(default_port, F.lit("")).otherwise(
-        F.concat(F.lit(":"), port))
+    port_part = F.when(~well_formed, F.lower(port_rest)) \
+        .when(default_port, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    # an unterminated '[' authority: keep it verbatim, lowercased
+    host = F.when(hostport.startswith("[") & (bracket_host == ""),
+                  F.lower(hostport)).otherwise(host)
+    port_part = F.when(hostport.startswith("[") & (bracket_host == ""),
+                       F.lit("")).otherwise(port_part)
 
     path = F.split(pathq, r"\?", 2).getItem(0)
     query = F.when(pathq.contains("?"),

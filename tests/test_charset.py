@@ -73,6 +73,43 @@ def test_meta_http_equiv_content_charset():
     assert any("namé" in (r[4] or "") for r in res.rows)
 
 
+def test_hostile_charset_label_never_kills_the_row():
+    """Review r04b: charset="undefined" hits Python's booby-trapped
+    'undefined' codec which raises UnicodeError even with
+    errors='replace' — must degrade to as-is bytes, not kill the
+    task."""
+    html = ('<html><head><meta charset="undefined">'
+            '<script type="application/ld+json">'
+            '{"@id": "https://e/x", "http://s/p": 1}</script>'
+            '</head><body>t</body></html>').encode("utf-8")
+    assert decode_html(html) == html
+    res = page_to_triples(URL, html)
+    assert res.status == "ok" and res.n_triples == 1
+
+
+def test_charset_sniff_only_matches_meta_tags():
+    """Review r04b: accept-charset on a <form> (or charset= text in a
+    payload) must NOT transcode a genuine utf-8 page."""
+    html = ('<html><body><form accept-charset="ISO-8859-1"></form>'
+            '<script type="application/ld+json">'
+            + json.dumps(DOC, ensure_ascii=False)
+            + '</script></body></html>').encode("utf-8")
+    assert decode_html(html) is html
+    assert any("café" in v for _, _, v in _rows(html))
+
+
+def test_mislabeled_utf16_meta_treated_as_utf8():
+    """Review r04b (WHATWG rule): a byte-readable <meta> cannot be on a
+    real utf-16 page — trust the bytes, not the label."""
+    html = ('<html><head><meta charset="utf-16"></head><body>'
+            '<script type="application/ld+json">'
+            '{"@id": "https://e/x", "http://s/p": "ok"}</script>'
+            '</body></html>').encode("utf-8")
+    assert decode_html(html) is html
+    res = page_to_triples(URL, html)
+    assert res.status == "ok" and res.n_triples == 1
+
+
 def test_unknown_charset_label_falls_through():
     html = ('<html><head><meta charset="x-bogus-enc"></head><body>'
             '<script type="application/ld+json">'

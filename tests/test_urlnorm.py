@@ -44,6 +44,29 @@ def test_path_case_and_param_values_preserved(spark):
     assert got == ["https://e.org/CaseSensitive?q2==x&q=A%3Db"]
 
 
+def test_ipv6_and_malformed_ports_never_merge_hosts(spark):
+    """Review r04b: IPv6 literals keep their brackets (inner colons are
+    not a port separator) and a non-numeric port is preserved — two
+    different servers must never collapse to one canonical key."""
+    got = _canon(spark, [
+        "https://[2001:db8::1]/x",
+        "https://[2001:db8::2]/x",
+        "https://[2001:DB8::1]:443/x",   # default port still drops
+        "https://[2001:db8::1]:8080/x",  # explicit port kept
+        "https://ex.org:banana/p",       # junk port preserved verbatim
+        "https://ex.org/p",
+    ])
+    assert got == [
+        "https://[2001:db8::1]/x",
+        "https://[2001:db8::2]/x",
+        "https://[2001:db8::1]/x",
+        "https://[2001:db8::1]:8080/x",
+        "https://ex.org:banana/p",
+        "https://ex.org/p",
+    ]
+    assert len(set(got)) == 5  # only the true duplicates merged
+
+
 def test_dedup_collapses_variants(spark):
     pages = spark.createDataFrame(
         [("https://EX.org:443/a?b=1&a=2&utm_source=x#f",),
