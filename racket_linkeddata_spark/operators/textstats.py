@@ -176,6 +176,52 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
         F.element_at("mins", j + 1).alias(f"mh{j}") for j in range(k)])
 
 
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard similarity s) for banded MinHash-LSH:
+    1 - (1 - s^rows)^bands — the S-curve every (bands, rows) choice
+    trades on."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def lsh_plan(threshold: float, max_hashes: int = 64,
+             min_hashes: int = 8) -> dict:
+    """Pick (bands, rows) for a target Jaccard ``threshold`` — the
+    standard S-curve design rule: the curve's steepest point sits near
+    (1/bands)^(1/rows), so minimize its distance to the threshold,
+    breaking ties toward fewer total hashes (cheaper signatures) and
+    then steeper curves. Returns the chosen plan plus the estimated
+    catch-rate at the threshold and at ±0.1 around it, so operators can
+    see the FP/FN trade before running anything at scale.
+
+    Driver-side arithmetic over a few dozen (bands, rows) pairs —
+    nothing touches the cluster."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, max_hashes + 1):
+        for bands in range(1, max_hashes // rows + 1):
+            k = bands * rows
+            if k < min_hashes:
+                continue
+            midpoint = (1.0 / bands) ** (1.0 / rows)
+            score = (abs(midpoint - threshold), k, -bands)
+            if best is None or score < best[0]:
+                best = (score, bands, rows)
+    _, bands, rows = best
+    return {
+        "bands": bands,
+        "rows": rows,
+        "n_hashes": bands * rows,
+        "midpoint": round((1.0 / bands) ** (1.0 / rows), 4),
+        "p_at_threshold": round(
+            lsh_collision_probability(threshold, bands, rows), 4),
+        "p_below": round(lsh_collision_probability(
+            max(threshold - 0.1, 0.0), bands, rows), 4),
+        "p_above": round(lsh_collision_probability(
+            min(threshold + 0.1, 1.0), bands, rows), 4),
+    }
+
+
 def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
                            bands: int = 4,
                            materialize: bool = True,

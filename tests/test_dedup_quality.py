@@ -214,3 +214,32 @@ def test_fingerprint_non_ascii_matches_hashlib_char_windows(spark):
         " i -> md5(substring(t, i, 8))))"
         " FROM (SELECT ? AS t)", [text]).fetchone()
     assert got == (row.fp_min, row.fp_max)
+
+
+def test_lsh_plan_s_curve_math():
+    """lsh_plan picks (bands, rows) whose S-curve midpoint tracks the
+    target threshold, and the probability estimates behave: steeply
+    higher above the threshold than below."""
+    from racket_linkeddata_spark.operators.textstats import (
+        lsh_collision_probability, lsh_plan)
+
+    # closed-form check of the curve itself
+    assert lsh_collision_probability(0.8, 4, 4) == \
+        1.0 - (1.0 - 0.8 ** 4) ** 4
+
+    for threshold in (0.5, 0.7, 0.8, 0.9):
+        p = lsh_plan(threshold)
+        assert p["bands"] * p["rows"] == p["n_hashes"] <= 64
+        assert abs(p["midpoint"] - threshold) < 0.08
+        assert p["p_above"] > p["p_at_threshold"] > p["p_below"]
+        assert p["p_above"] > 0.75 and p["p_below"] < 0.6
+
+    # the repo default (16 hashes, 4 bands of 4) should be what the
+    # planner picks for its own midpoint
+    mid = (1 / 4) ** (1 / 4)
+    p = lsh_plan(mid, max_hashes=16)
+    assert (p["bands"], p["rows"]) == (4, 4)
+
+    import pytest
+    with pytest.raises(ValueError):
+        lsh_plan(1.5)
