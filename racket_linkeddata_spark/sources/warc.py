@@ -139,7 +139,7 @@ def read_warc_log(spark, path: str):
 def _read(spark, path: str):
     import pandas as pd
 
-    from ..core.pipeline import extract_text
+    from ..core.pipeline import decode_html, extract_text
 
     files = spark.read.format("binaryFile").load(path)
 
@@ -152,6 +152,13 @@ def _read(spark, path: str):
                                    pdf["content"].tolist()):
                 records, err = parse_warc(bytes(blob))
                 for url, ts, html in records:
+                    # reader policy: page bytes are charset-normalized
+                    # to utf-8 (utf-8 pages pass through untouched), so
+                    # the text column is real text — not mojibake — for
+                    # utf-16/legacy-charset crawl records, and the
+                    # text == extract_text(html) invariant holds by
+                    # construction for every stored row
+                    html = decode_html(html)
                     rows.append((url, ts, html,
                                  extract_text(html), "", fname, err))
                 if err is not None and not records:

@@ -111,6 +111,22 @@ def test_read_warc_matches_direct_pages(spark, tmp_path):
     assert from_warc == want
 
 
+def test_read_warc_normalizes_charset(spark, tmp_path):
+    """A utf-16 crawl record yields real text and triples, not
+    mojibake: the reader normalizes page bytes to utf-8."""
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@id": "https://e/p#s", "http://schema.org/name": "café"}'
+            '</script></head><body>café body</body></html>')
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc([("https://e/p",
+                 datetime.datetime(2024, 1, 1, tzinfo=UTC),
+                 html.encode("utf-16"))], str(wdir / "u16.warc"))
+    row = read_warc(spark, str(wdir)).collect()[0]
+    assert row.text == "café body"
+    assert row.text == extract_text(bytes(row.html))
+
+
 def test_read_warc_log_flags_bad_file(spark, tmp_path):
     wdir = tmp_path / "warcs"
     wdir.mkdir()
