@@ -79,6 +79,25 @@ def test_dedup_collapses_variants(spark):
     assert rows["https://ex.org/other"][1] == 1
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for a diverse corpus —
+    a non-idempotent canonicalizer would rewrite keys every time a
+    store is re-processed."""
+    urls = [
+        "HTTPS://WWW.Example.ORG:443/Path/X?b=2&utm_source=tw&a=1#frag",
+        "http://ex.org:80/p", "http://ex.org:8080/p", "https://ex.org",
+        "https://ex.org?z=1&y=2", "https://ex.org/p?utm_campaign=x",
+        "https://user:pw@EX.org/p", "https://[2001:db8::1]:8080/x",
+        "https://[2001:DB8::1]:443/x", "https://ex.org:banana/p",
+        "https://e.org/CaseSensitive?q=A%3Db&q2==x",
+        "https://ex.org/a/../b?x=1&x=1&x=0#y",
+        "ftp://Mixed.Host/File", "https://ex.org/?&&",
+    ]
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert twice == once
+
+
 def test_all_column_algebra_no_python(spark):
     pages = spark.createDataFrame([("https://e/x",)], "url string")
     plan = (dedup_by_canonical_url(pages)
