@@ -75,6 +75,20 @@ def decode_html(html: bytes) -> bytes:
     if m:
         enc = m.group(1).decode("latin-1").lower()
         if enc not in _UTF8_NAMES:
+            # Idempotence guard: the <meta> label SURVIVES a transcode,
+            # so a second decode_html pass (WARC reader, then
+            # page_to_triples inside the same job) would re-decode the
+            # now-utf-8 bytes as the legacy charset ('café'->'cafÃ©').
+            # Bytes that already decode STRICTLY as utf-8 are either
+            # pure ASCII (for which every ascii-compatible legacy
+            # transcode is the identity anyway) or an earlier pass's
+            # output — skip the label. Genuine legacy-encoded non-ASCII
+            # pages are essentially never valid utf-8.
+            try:
+                html.decode("utf-8")
+                return html
+            except UnicodeDecodeError:
+                pass
             try:
                 return html.decode(enc, "replace").encode("utf-8")
             except (LookupError, UnicodeError, ValueError):

@@ -176,18 +176,30 @@ class _RdfaParser(MarkupExtractor):
                 for t in types:
                     self.quads.append(Quad(typed_node, RDF_TYPE, t))
             obj: object = None
-            if obj_iri is not None:
+            if "content" in a:
+                # RDFa Core 1.1 step 11: @content wins the property
+                # VALUE even over @resource/@href/@src and over a
+                # typeof-minted bnode (whose rdf:type quads were
+                # already emitted above)
+                obj = make_literal(a["content"], dt, lang)
+            elif obj_iri is not None:
                 obj = obj_iri
             elif typed_node is not None and about is None:
                 obj = typed_node  # typed-object (bnode) chaining
-            elif "content" in a:
-                obj = make_literal(a["content"], dt, lang)
             if obj is not None:
                 for p in props:
                     self.quads.append(Quad(subj, p, obj))
-                # RDFa Core: the object resource is the parent object
-                # for descendants
-                f.subject = obj if isinstance(obj, str) else subj
+                # RDFa Core: the object resource (or the typed bnode)
+                # remains the parent subject for descendants even when
+                # @content supplied the property value
+                if obj_iri is not None:
+                    f.subject = obj_iri
+                elif typed_node is not None and about is None:
+                    f.subject = typed_node
+                elif isinstance(obj, str):
+                    f.subject = obj
+                else:
+                    f.subject = subj
             else:
                 # text-content literal: buffer until this tag closes
                 buf: List[str] = []

@@ -39,6 +39,7 @@ from __future__ import annotations
 import datetime
 import gzip
 import io
+import zlib
 from typing import Iterator, List, Optional, Tuple
 
 _CRLF2 = b"\r\n\r\n"
@@ -68,9 +69,14 @@ def parse_warc(data: bytes) -> Tuple[List[Tuple[str, Optional[
     records; error is a short message when the byte stream went bad
     (records parsed before the defect are still returned)."""
     if data[:2] == b"\x1f\x8b":
+        # gzip.decompress raises OSError (BadGzipFile) for a bad
+        # header, but EOFError for a TRUNCATED stream and zlib.error
+        # for corrupt deflate data — neither is an OSError, and an
+        # uncaught one would kill the whole mapInPandas task instead
+        # of flagging just this file
         try:
             data = gzip.decompress(data)
-        except OSError as e:
+        except (OSError, EOFError, zlib.error) as e:
             return [], f"gzip: {e}"
     out: List[Tuple[str, Optional[datetime.datetime], bytes]] = []
     pos = 0

@@ -110,6 +110,46 @@ def test_mislabeled_utf16_meta_treated_as_utf8():
     assert res.status == "ok" and res.n_triples == 1
 
 
+def test_decode_html_idempotent_meta_labeled_legacy():
+    """ADVICE r04 (high): the <meta charset> label SURVIVES the first
+    transcode, so a second decode_html pass (WARC reader, then
+    page_to_triples) used to re-decode the utf-8 output as the legacy
+    charset: 'café' -> 'cafÃ©'. decode_html must be a projection."""
+    html = ('<html><head><meta charset="windows-1252">'
+            '<script type="application/ld+json">'
+            '{"@id": "https://ex.org/p#s", '
+            '"http://schema.org/name": "café"}'
+            '</script></head><body>t</body></html>')
+    legacy = html.encode("windows-1252")
+    once = decode_html(legacy)
+    assert decode_html(once) == once
+    # and the double-pass page still extracts the REAL character
+    assert any("café" in v for _, _, v in _rows(decode_html(once)))
+    assert not any("cafÃ©" in v for _, _, v in _rows(decode_html(once)))
+
+
+def test_decode_html_idempotent_over_corpus():
+    """decode_html(decode_html(x)) == decode_html(x) over every charset
+    shape this suite exercises."""
+    corpus = [
+        HTML.encode("utf-8"),
+        b"\xef\xbb\xbf" + HTML.encode("utf-8"),
+        HTML.encode("utf-16"),
+        HTML.encode("utf-16-le"),
+        HTML.encode("utf-16-be"),
+        ('<html><head><meta charset="iso-8859-1"></head>'
+         '<body>caf\xe9</body></html>').encode("iso-8859-1"),
+        ('<html><head><meta charset="shift_jis"></head>'
+         '<body>日本</body></html>').encode("shift_jis"),
+        b'<html><head><meta charset="undefined"></head><body>x</body>',
+        b"\x00\x01\xff\xfe garbage",
+        b"",
+    ]
+    for b in corpus:
+        once = decode_html(b)
+        assert decode_html(once) == once, b[:40]
+
+
 def test_unknown_charset_label_falls_through():
     html = ('<html><head><meta charset="x-bogus-enc"></head><body>'
             '<script type="application/ld+json">'

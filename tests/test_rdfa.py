@@ -113,6 +113,38 @@ def test_undeclared_social_prefixes_skipped():
                         Literal("x", XSD_STRING))]
 
 
+def test_content_wins_over_typeof_minted_bnode():
+    """ADVICE r04 (low), RDFa Core 1.1 step 11: @content supplies the
+    property VALUE even when @typeof mints a bnode — the literal must
+    not be dropped; the typed bnode keeps its rdf:type quads."""
+    got = _q('<div vocab="http://schema.org/" about="#a">'
+             '<span property="author" typeof="Person" content="Alice">'
+             '</span></div>')
+    assert Quad(BASE + "#a", SCHEMA + "author",
+                Literal("Alice", XSD_STRING)) in got
+    types = [q for q in got if q.pred == RDF_TYPE]
+    assert len(types) == 1 and types[0].subj.startswith("_:")
+    assert types[0].obj == SCHEMA + "Person"
+
+
+def test_content_wins_over_href_resource():
+    """RDFa Core 1.1 step 11: @content beats @href/@src/@resource for
+    the property value; the resource still chains for descendants."""
+    got = _q('<div vocab="http://schema.org/" about="#a">'
+             '<a property="author" href="/p/7" content="Alice">x</a>'
+             '</div>')
+    assert got == [Quad(BASE + "#a", SCHEMA + "author",
+                        Literal("Alice", XSD_STRING))]
+    got = _q('<div vocab="http://schema.org/" about="#a">'
+             '<div property="publisher" resource="#org" content="Acme">'
+             '<span property="name" content="A Corp"></span></div></div>')
+    assert Quad(BASE + "#a", SCHEMA + "publisher",
+                Literal("Acme", XSD_STRING)) in got
+    # descendants still attach to the resource, not the literal
+    assert Quad(BASE + "#org", SCHEMA + "name",
+                Literal("A Corp", XSD_STRING)) in got
+
+
 def test_property_resource_sets_object_and_child_subject():
     got = _q('<div vocab="http://schema.org/" about="#a">'
              '<div property="publisher" resource="#org">'

@@ -127,6 +127,62 @@ def test_read_warc_normalizes_charset(spark, tmp_path):
     assert row.text == extract_text(bytes(row.html))
 
 
+def test_parse_truncated_gzip_isolated():
+    """ADVICE r04 (medium): a truncated .warc.gz raises EOFError (and
+    corrupt deflate raises zlib.error) — neither is an OSError; the
+    parser must flag the file, never kill the task."""
+    rec = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://e/p\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    truncated = rec[: len(rec) - 6]
+    got, err = parse_warc(truncated)
+    assert got == [] and err is not None and "gzip" in err
+    corrupt = rec[:12] + bytes(b ^ 0xA5 for b in rec[12:-8]) + rec[-8:]
+    got, err = parse_warc(corrupt)
+    assert got == [] and err is not None and "gzip" in err
+
+
+def test_read_warc_truncated_gzip_flags_file_only(spark, tmp_path):
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(_mk_records(5), str(wdir / "good.warc"))
+    write_warc(_mk_records(3, start=100), str(wdir / "trunc.warc.gz"),
+               compress=True)
+    data = (wdir / "trunc.warc.gz").read_bytes()
+    (wdir / "trunc.warc.gz").write_bytes(data[: len(data) - 10])
+    assert read_warc(spark, str(wdir)).count() >= 5  # task survives
+    errs = {r.warc_file.rsplit("/", 1)[-1]: r.warc_error
+            for r in read_warc_log(spark, str(wdir))
+            .select("warc_file", "warc_error").distinct().collect()}
+    assert errs["good.warc"] is None
+    assert errs["trunc.warc.gz"] is not None
+
+
+def test_warc_meta_labeled_legacy_page_not_double_decoded(spark,
+                                                          tmp_path):
+    """ADVICE r04 (high): read_warc decodes once, page_to_triples
+    decodes again — with a surviving <meta charset> label the second
+    pass used to re-decode utf-8 as the legacy charset and corrupt
+    every non-ASCII literal ('café' -> 'cafÃ©')."""
+    from racket_linkeddata_spark.plans.kg import build_kg
+
+    html = ('<html><head><meta charset="windows-1252">'
+            '<script type="application/ld+json">'
+            '{"@id": "https://e/p#s", "http://schema.org/name": "café"}'
+            '</script></head><body>café body</body></html>')
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc([("https://e/p",
+                 datetime.datetime(2024, 1, 1, tzinfo=UTC),
+                 html.encode("windows-1252"))], str(wdir / "l.warc"))
+    pages = read_warc(spark, str(wdir))
+    vals = [r.obj_value for r in build_kg(pages, persist=False)
+            .edges.select("obj_value").collect()]
+    assert "café" in vals
+    assert not any("cafÃ©" in (v or "") for v in vals)
+
+
 def test_read_warc_log_flags_bad_file(spark, tmp_path):
     wdir = tmp_path / "warcs"
     wdir.mkdir()
