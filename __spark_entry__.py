@@ -627,11 +627,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
-def _oracle_ivf_topk(centroid_mod: int = 97, nprobe: int = 3,
+def _oracle_ivf_topk(n_centroids: int = 8, nprobe: int = 3,
                      k: int = 5) -> str:
-    """DuckDB replica of similarity.ivf_topk: id-sampled centroids,
-    rounded-cosine argmax cell assignment (ties to lowest centroid id),
-    nprobe probe cells per query, exact cosine + row_number top-k."""
+    """DuckDB replica of similarity.ivf_topk: hash-ordered FIXED-COUNT
+    centroid sample (md5 of the decimal id — byte-identical between
+    Spark's F.md5 and DuckDB's md5, verified), rounded-cosine argmax
+    cell assignment (ties to lowest centroid id), nprobe probe cells
+    per query, exact cosine + row_number top-k."""
     def cos(a, b):
         return (f"round(list_inner_product({a}, {b}) / "
                 f"(sqrt(list_inner_product({a}, {a})) * "
@@ -641,7 +643,8 @@ def _oracle_ivf_topk(centroid_mod: int = 97, nprobe: int = 3,
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
         c AS (SELECT vec_id AS cid, v AS cv FROM e
-              WHERE vec_id % {centroid_mod} = 0),
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {n_centroids}),
         sims AS (SELECT e.vec_id, c.cid, {cos('e.v', 'c.cv')} AS s
                  FROM e CROSS JOIN c),
         assign AS (SELECT vec_id AS item_id, cid AS cell FROM (

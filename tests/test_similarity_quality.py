@@ -24,9 +24,9 @@ def test_lsh_recall_vs_brute_force(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
-    """IVF-flat at defaults (centroids = ids % 97, nprobe 3 of 6 cells
-    at this sf) must recover most of the exact top-5 and never invent
-    results (cells partition the corpus; scoring is exact cosine)."""
+    """IVF-flat at defaults (8 hash-sampled centroids, nprobe 3) must
+    recover most of the exact top-5 and never invent results (cells
+    partition the corpus; scoring is exact cosine)."""
     from racket_linkeddata_spark.operators.similarity import ivf_topk
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -36,17 +36,69 @@ def test_ivf_recall_vs_brute_force(spark):
     approx = {(r.query_id, r.item_id)
               for r in ivf_topk(e, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"recall {recall}"
+    # this synthetic corpus is near-uniform, so recall tracks the scan
+    # fraction (nprobe/n_centroids = 3/8) plus the always-probed best
+    # cell; 0.51 measured, deterministic
+    assert recall >= 0.5, f"recall {recall}"
     assert len(approx) <= len(exact)
+    # a deeper probe raises recall monotonically
+    deeper = {(r.query_id, r.item_id)
+              for r in ivf_topk(e, q, k=5, nprobe=6).collect()}
+    assert len(exact & deeper) >= len(exact & approx)
     # raising nprobe to ALL cells makes IVF exhaustive == brute force
     full = {(r.query_id, r.item_id)
-            for r in ivf_topk(e, q, k=5, nprobe=6).collect()}
+            for r in ivf_topk(e, q, k=5, nprobe=8).collect()}
     assert full == exact
 
 
+def test_ivf_centroid_count_is_corpus_size_independent(spark):
+    """Round-4 verdict #1: the coarse quantizer must collect a CONSTANT
+    number of centroids regardless of corpus size (the old %-mod rule
+    collected N/97 — linear in N). Same n_centroids, 4x the corpus,
+    same centroid count; and the sample is deterministic."""
+    from racket_linkeddata_spark.operators.similarity import _ivf_centroids
+
+    small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    ids_small, _ = _ivf_centroids(small, 6, None, None,
+                                  "vec_id", "embedding")
+    ids_big, _ = _ivf_centroids(big, 6, None, None,
+                                "vec_id", "embedding")
+    ids_again, _ = _ivf_centroids(small, 6, None, None,
+                                  "vec_id", "embedding")
+    assert len(ids_small) == 6 and len(ids_big) == 6  # constant, not N/97
+    assert list(ids_small) == list(ids_again)  # deterministic
+    assert list(ids_small) == sorted(ids_small)  # ascending-id contract
+
+
+def test_ivf_external_centroids_table(spark):
+    """A pre-trained centroids DataFrame (the k-means path) drives the
+    same assignment/probe plan; probing every external cell is again
+    exhaustive == brute force."""
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    cents = e.filter(F.col("vec_id") % 100 == 7)  # 5 "trained" centroids
+    exact = {(r.query_id, r.item_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    full = {(r.query_id, r.item_id)
+            for r in ivf_topk(e, q, k=5, centroids=cents,
+                              nprobe=5).collect()}
+    assert full == exact
+    approx = {(r.query_id, r.item_id)
+              for r in ivf_topk(e, q, k=5, centroids=cents,
+                                nprobe=2).collect()}
+    # a shallow probe still finds a meaningful share of the exact top-5
+    # (NOT a subset in general: an unprobed true neighbor is replaced
+    # by the next-best scanned item)
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
 def test_ivf_empty_centroid_sample_clear_error(spark):
-    """Review r04: a corpus with no id divisible by centroid_mod must
-    raise a clear ValueError, not an opaque numpy AxisError."""
+    """Review r04: an empty centroid set (empty corpus, or a legacy
+    modulus no id covers) must raise a clear ValueError, not an opaque
+    numpy AxisError."""
     import pytest
 
     from racket_linkeddata_spark.operators.similarity import ivf_topk
@@ -54,7 +106,9 @@ def test_ivf_empty_centroid_sample_clear_error(spark):
     e = (spark.read.parquet(f"{SF}/embeddings.parquet")
          .filter((F.col("vec_id") % 97 != 0) & (F.col("vec_id") < 90)))
     with pytest.raises(ValueError, match="no centroids sampled"):
-        ivf_topk(e, e.limit(2), k=3)
+        ivf_topk(e, e.limit(2), k=3, centroid_mod=97)
+    with pytest.raises(ValueError, match="no centroids sampled"):
+        ivf_topk(e.filter(F.col("vec_id") < 0), e.limit(2), k=3)
 
 
 def test_ivf_candidates_need_no_dedup(spark):
