@@ -100,12 +100,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         d = d.filter(F.col("doc_id") < max_docs)
     d = ensure_parallelism(d)
     # persist: otherwise the shingle expression tree is re-evaluated on
-    # both sides of the self-join. Bounded: this operator is only ever
-    # run on candidate subsets (max_docs / LSH output), so the cached
-    # table is small; the unbounded-scale paths (minhash_lsh_candidates,
-    # embedding_near_dup_lsh) need no cache at all. Empty shingle sets
-    # (docs shorter than n tokens) are excluded — jaccard is undefined
-    # (0/0) for them.
+    # both sides of the self-join. DELIBERATE despite the repo-wide
+    # CacheManager gotcha: an A/B/A at sf0.1 measured persist 0.49-0.55s
+    # vs localCheckpoint(eager=False) 0.66-0.80s vs no-pin 0.78s for
+    # this query (columnar in-memory scan beats row-serialized
+    # checkpoint blocks), and the subtree is operator-local (filtered
+    # candidate subset), so no later query can match it. Bounded: this
+    # operator is only ever run on candidate subsets (max_docs / LSH
+    # output), so the cached table is small; the unbounded-scale paths
+    # (minhash_lsh_candidates, embedding_near_dup_lsh) need no cache at
+    # all. Empty shingle sets (docs shorter than n tokens) are excluded
+    # — jaccard is undefined (0/0) for them.
     s = (d.select("doc_id", shingles(d, n).alias("sh"))
          .filter(F.size("sh") > 0).persist())
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
