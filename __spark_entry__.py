@@ -589,6 +589,98 @@ def q_text_langid(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_text_langid_model(spark, sf_dir):
+    """Trigram-profile + script-tier language ID (the real model next
+    to the stopword heuristic; round-4 verdict #3). Integer scores make
+    it exactly DuckDB-replicable — see _oracle_langid_model."""
+    from racket_linkeddata_spark.operators.langid import lang_id_model
+
+    return lang_id_model(_docs(spark, sf_dir))
+
+
+def _oracle_langid_model() -> str:
+    """Independent DuckDB derivation of lang_id_model: the SAME profile
+    table (generated from the same embedded seed corpora, emitted as a
+    VALUES literal), trigram explode via range+substring, script-block
+    counts via regexp char classes, the same decision cascade. Every
+    score is an integer, so the value hash is exact."""
+    from racket_linkeddata_spark.operators.langid import (
+        SAMPLE_CHARS,
+        SCRIPT_LANGS,
+        _HAN,
+        _KANA,
+        build_profiles,
+    )
+
+    rows = []
+    for lang, prof in sorted(build_profiles().items()):
+        for tg, w in sorted(prof.items()):
+            rows.append(f"('{lang}','{tg}',{w})")
+    values = ",\n              ".join(rows)
+
+    def blocks_class(blocks):
+        return "".join(f"\\x{{{lo:04x}}}-\\x{{{hi:04x}}}"
+                       for lo, hi in blocks)
+
+    def count_expr(blocks):
+        # keep only block chars, count what survives
+        return (f"length(regexp_replace(n, "
+                f"'[^{blocks_class(blocks)}]', '', 'g'))")
+
+    script_counts = ",\n                 ".join(
+        f"{count_expr(blocks)} AS n_{lang}"
+        for lang, blocks in SCRIPT_LANGS)
+    tier1 = "\n                ".join(
+        f"WHEN 2 * n_{lang} >= n_letters THEN '{lang}'"
+        for lang, _ in SCRIPT_LANGS)
+    tier1_score = "\n                ".join(
+        f"WHEN 2 * n_{lang} >= n_letters THEN n_{lang}"
+        for lang, _ in SCRIPT_LANGS)
+
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(substring(text, 1, {SAMPLE_CHARS})),
+                                '[^\\pL]', ' ', 'g') AS n
+          FROM documents),
+        scripts AS (
+          SELECT doc_id, n,
+                 length(replace(n, ' ', '')) AS n_letters,
+                 {count_expr(_HAN)} AS n_han,
+                 {count_expr(_KANA)} AS n_kana,
+                 {script_counts}
+          FROM norm),
+        grams AS (
+          SELECT doc_id, substring(n, CAST(i AS INT), 3) AS tg
+          FROM norm, unnest(range(1, greatest(length(n) - 1, 1))) AS t(i)),
+        counts AS (
+          SELECT doc_id, tg, count(*) AS c FROM grams
+          WHERE tg <> '   ' GROUP BY doc_id, tg),
+        prof(lang, tg, w) AS (
+          VALUES {values}),
+        tscore AS (
+          SELECT doc_id, lang, SUM(c * w) AS s
+          FROM counts JOIN prof USING (tg) GROUP BY doc_id, lang),
+        tbest AS (
+          SELECT doc_id, lang AS tlang, s FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY s DESC, lang) AS rn FROM tscore) WHERE rn = 1)
+        SELECT sc.doc_id,
+               CASE WHEN n_letters = 0 THEN 'und'
+                WHEN 2 * (n_han + n_kana) >= n_letters THEN
+                  CASE WHEN n_kana > 0 THEN 'ja' ELSE 'zh' END
+                {tier1}
+                WHEN COALESCE(s, 0) > 0 THEN tlang
+                ELSE 'und' END AS lang,
+               CAST(CASE WHEN n_letters = 0 THEN 0
+                WHEN 2 * (n_han + n_kana) >= n_letters THEN
+                  CASE WHEN n_kana > 0 THEN n_han + n_kana ELSE n_han END
+                {tier1_score}
+                WHEN COALESCE(s, 0) > 0 THEN s
+                ELSE 0 END AS BIGINT) AS lang_score
+        FROM scripts sc LEFT JOIN tbest ON sc.doc_id = tbest.doc_id"""
+
+
 def q_ann_cosine_threshold(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import cosine
 
@@ -967,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_langid_model": q_text_langid_model,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "dedup_text_pipeline": q_dedup_text_pipeline,
@@ -1308,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _oracle_embedding_lsh(),
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ivf_topk(),
+        "text_langid_model": _oracle_langid_model(),
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

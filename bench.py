@@ -104,7 +104,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
                  "dedup_ngram_jaccard",
                  "dedup_simhash", "dedup_embedding_lsh",
                  "text_fingerprint", "text_tokens",
-                 "text_langid", "ann_brute_topk", "ann_lsh_topk",
+                 "text_langid", "text_langid_model",
+                 "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
                  "multimodal_frames", "tpch_q1", "tpch_join",
                  "events_window"]:
