@@ -1031,6 +1031,22 @@ def q_text_tokens_bpe(spark, sf_dir):
         .cast("bigint").alias("n_bpe_tokens"))
 
 
+def q_text_tokens_bpe_real(spark, sf_dir):
+    """REAL BPE token pricing (rank-merge loop, round-4 verdict #4)
+    with the mini merge table [(t,h), (th,e)]. Chosen because its
+    token count has a closed form an independent engine can compute —
+    n_tokens = nonspace_chars - count('th') - count('the') (every 'th'
+    occurrence merges: t != h makes occurrences disjoint; every 'the'
+    then merges its [th] with 'e') — so the oracle is value-exact
+    without reimplementing the merge loop in SQL. The general engine
+    (trained vocabularies, independent reference implementation) is
+    pinned by tests/test_bpe.py."""
+    from racket_linkeddata_spark.operators.bpe import bpe_token_count
+
+    return bpe_token_count(_docs(spark, sf_dir),
+                           [("t", "h"), ("th", "e")])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG build over sf0.001 documents-derived pages."""
     from racket_linkeddata_spark.plans.kg import build_kg
@@ -1082,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "text_tokens_bpe": q_text_tokens_bpe,
+        "text_tokens_bpe_real": q_text_tokens_bpe_real,
     }
 
 
@@ -1446,5 +1463,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+            FROM documents""",
+        # closed form of the [(t,h),(th,e)] BPE merge table; see
+        # q_text_tokens_bpe_real for the derivation
+        "text_tokens_bpe_real": """
+            SELECT doc_id,
+                   CAST(length(replace(text, ' ', ''))
+                        - (length(text) - length(replace(text, 'th', ''))) / 2
+                        - (length(text) - length(replace(text, 'the', ''))) / 3
+                        AS BIGINT) AS n_tokens
             FROM documents""",
     }

@@ -104,6 +104,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
                  "dedup_ngram_jaccard",
                  "dedup_simhash", "dedup_embedding_lsh",
                  "text_fingerprint", "text_tokens",
+                 "text_tokens_bpe_real",
                  "text_langid", "text_langid_model",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk",
