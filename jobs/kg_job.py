@@ -9,7 +9,9 @@ With --n-synth and no --pages, synthesizes the deterministic test corpus
 first (sandbox use). --warc <dir> reads raw Common-Crawl-style
 .warc/.warc.gz files instead of a parquet pages table (one file = one
 task). --resume anti-joins against <out>/page_log from a previous run
-before processing.
+before processing. --stream runs the Structured Streaming ingest over
+the --pages/--warc directory instead (exactly-once per file via the
+stream checkpoint; re-invoke to drain newly arrived files).
 """
 
 from __future__ import annotations
@@ -32,6 +34,14 @@ def main():
                         "(Iceberg rewriteDataFiles stand-in)")
     p.add_argument("--n-synth", type=int)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--stream", action="store_true",
+                   help="run as a Structured Streaming ingest instead "
+                        "of a batch build: drain the --pages/--warc "
+                        "directory (availableNow) into the same "
+                        "(snap,bucket) store; the stream checkpoint at "
+                        "<out>/_checkpoint makes re-invocation process "
+                        "only newly arrived files (so --resume/--compact "
+                        "do not apply)")
     args = p.parse_args()
 
     # Deployment-agnostic session: no master/memory pinning here (that's
@@ -56,6 +66,25 @@ def main():
              .getOrCreate())
     from racket_linkeddata_spark.plans.kg import build_kg, materialize
     from racket_linkeddata_spark.sources.pages import synthesize_pages
+
+    if args.stream:
+        if args.resume or args.compact or args.n_synth:
+            raise SystemExit("--stream takes --pages or --warc only "
+                             "(checkpoint IS the resume mechanism)")
+        path = args.pages or args.warc
+        if not path:
+            raise SystemExit("--stream needs --pages or --warc")
+        from racket_linkeddata_spark.plans.kg import read_edges
+        from racket_linkeddata_spark.streaming.ingest import run_ingest_kg
+        q = run_ingest_kg(spark, path, args.out,
+                          f"{args.out}/_checkpoint",
+                          buckets=args.buckets,
+                          source="warc" if args.warc else "parquet")
+        q.awaitTermination()
+        n = read_edges(spark, args.out).count()
+        print(f"kg-construct done: {n} edges at {args.out} (streamed)")
+        spark.stop()
+        return
 
     if args.pages:
         pages = spark.read.parquet(args.pages)

@@ -142,12 +142,39 @@ def read_warc_log(spark, path: str):
     return _read(spark, path)
 
 
+def read_warc_stream(spark, path: str,
+                     max_files_per_trigger: Optional[int] = None):
+    """Structured-Streaming twin of read_warc: a binaryFile-source
+    readStream over a GROWING crawl directory — new .warc/.warc.gz
+    files become micro-batches (same one-file-one-task granularity,
+    same parser, same pages schema), so streaming/ingest.run_ingest_kg
+    can land a live crawl into the same (snap,bucket) store as the
+    batch path. File-source checkpointing makes it exactly-once per
+    archive; marker rows of corrupt files are dropped like read_warc."""
+    from pyspark.sql import functions as F
+
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (pages_from_warc_files(reader.load(path))
+            .filter(F.col("url").isNotNull())
+            .drop("warc_file", "warc_error"))
+
+
 def _read(spark, path: str):
+    return pages_from_warc_files(
+        spark.read.format("binaryFile").load(path))
+
+
+def pages_from_warc_files(files):
+    """binaryFile rows (path, content, ...) -> pages rows (+ per-file
+    provenance columns). Works identically on batch and streaming
+    DataFrames (mapInPandas is streaming-safe)."""
     import pandas as pd
 
     from ..core.pipeline import decode_html, extract_text
-
-    files = spark.read.format("binaryFile").load(path)
 
     def fn(batches) -> Iterator["pd.DataFrame"]:
         cols = ["url", "warc_ts", "html", "text", "lang",

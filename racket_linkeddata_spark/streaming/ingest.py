@@ -33,6 +33,20 @@ def stream_pages(spark: SparkSession, pages_path: str,
     return reader.load(pages_path)
 
 
+def _source_stream(spark: SparkSession, pages_path: str,
+                   source: str) -> DataFrame:
+    """``source='parquet'``: a pages-table directory; ``'warc'``: a raw
+    .warc/.warc.gz crawl directory (sources.warc.read_warc_stream) —
+    both yield the canonical pages schema, so everything downstream is
+    shared."""
+    if source == "warc":
+        from ..sources.warc import read_warc_stream
+        return read_warc_stream(spark, pages_path)
+    if source != "parquet":
+        raise ValueError(f"unknown stream source {source!r}")
+    return stream_pages(spark, pages_path)
+
+
 def stream_triples(pages_stream: DataFrame, contexts_broadcast=None,
                    mode: str = "URDNA2015") -> DataFrame:
     """Streaming variant of operators.extract.extract_triples (no
@@ -62,11 +76,11 @@ def stream_triples(pages_stream: DataFrame, contexts_broadcast=None,
 
 def run_ingest(spark: SparkSession, pages_path: str, out_path: str,
                checkpoint_path: str, available_now: bool = True,
-               contexts_broadcast=None):
+               contexts_broadcast=None, source: str = "parquet"):
     """Start (or resume, via the checkpoint) the streaming ingest.
     Returns the StreamingQuery; with available_now=True it drains the
     backlog and stops — call .awaitTermination()."""
-    triples = stream_triples(stream_pages(spark, pages_path),
+    triples = stream_triples(_source_stream(spark, pages_path, source),
                              contexts_broadcast)
     writer = (triples.writeStream.format("parquet")
               .option("path", out_path)
@@ -79,7 +93,8 @@ def run_ingest(spark: SparkSession, pages_path: str, out_path: str,
 
 def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
                   checkpoint_path: str, buckets: int = 64,
-                  available_now: bool = True, contexts_broadcast=None):
+                  available_now: bool = True, contexts_broadcast=None,
+                  source: str = "parquet"):
     """Streaming KG construction into the SAME (snap, bucket)-partitioned
     store that plans.kg.materialize writes: each micro-batch runs the
     batch dedup chain (skolemize -> two-phase hash aggregate) and lands
@@ -139,7 +154,7 @@ def run_ingest_kg(spark: SparkSession, pages_path: str, out_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(f"{out_dir}/nodes"))
 
-    triples = stream_triples(stream_pages(spark, pages_path),
+    triples = stream_triples(_source_stream(spark, pages_path, source),
                              contexts_broadcast)
     writer = (triples.writeStream
               .foreachBatch(_write_batch)

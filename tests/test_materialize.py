@@ -183,6 +183,55 @@ def test_kg_job_warc_input(spark, tmp_path):
     assert got == direct
 
 
+def test_kg_job_stream_warc_cli(spark, tmp_path):
+    """kg_job --stream --warc: the CLI drains a crawl directory via
+    Structured Streaming into the same store; the merged view equals
+    the batch build, and a second invocation with a new archive
+    processes only it (stream checkpoint)."""
+    import datetime
+    import os
+    import subprocess
+    import sys
+
+    from racket_linkeddata_spark.sources.pages import synth_page
+    from racket_linkeddata_spark.sources.warc import write_warc
+
+    def mk(lo, hi):
+        recs = []
+        for i in range(lo, hi):
+            url, ts, html, _, _ = synth_page(i)
+            recs.append((url, ts.replace(
+                microsecond=0, tzinfo=datetime.timezone.utc), html))
+        return recs
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    write_warc(mk(0, 20), str(wdir / "a.warc"))
+    out = str(tmp_path / "kg")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    cmd = [sys.executable, "/root/repo/jobs/kg_job.py",
+           "--warc", str(wdir), "--out", out, "--stream"]
+    run = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert run.returncode == 0, run.stderr[-2000:]
+
+    write_warc(mk(200, 210), str(wdir / "b.warc.gz"), compress=True)
+    run2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert run2.returncode == 0, run2.stderr[-2000:]
+
+    from racket_linkeddata_spark.plans.kg import build_kg, read_edges
+    from racket_linkeddata_spark.sources.warc import read_warc
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_dt",
+           "obj_lang", "graph"]
+    got = {tuple(r[k] for k in key): r.n_sources
+           for r in read_edges(spark, out).collect()}
+    want = {tuple(r[k] for k in key): r.n_sources
+            for r in build_kg(read_warc(spark, str(wdir)),
+                              persist=False).edges.collect()}
+    assert got == want
+    log = spark.read.parquet(f"{out}/page_log")
+    assert log.count() == log.select("url").distinct().count() == 30
+
+
 def test_resume_aborts_when_lineage_unreadable(spark, tmp_path):
     """Round-2 ADVICE: if page_log loads but lineage is missing/corrupt
     (crash between materialize's writes), --resume must abort, NOT fall

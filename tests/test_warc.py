@@ -183,6 +183,53 @@ def test_warc_meta_labeled_legacy_page_not_double_decoded(spark,
     assert not any("cafÃ©" in (v or "") for v in vals)
 
 
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """Round-4 verdict #5: a growing crawl directory streams through
+    run_ingest_kg(source='warc') into the same (snap,bucket) store as
+    the batch path — merged read view == batch build over the same
+    WARCs, and checkpoint resume processes only new archives."""
+    from racket_linkeddata_spark.plans.kg import build_kg, read_edges
+    from racket_linkeddata_spark.sources.warc import read_warc
+    from racket_linkeddata_spark.streaming.ingest import run_ingest_kg
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    out, ckpt = str(tmp_path / "kg"), str(tmp_path / "ckpt")
+    key = ["subj", "pred", "obj_kind", "obj_value", "obj_dt",
+           "obj_lang", "graph"]
+    recs = _mk_records(30)
+    write_warc(recs[:15], str(wdir / "crawl-0.warc"))
+    write_warc(recs[15:], str(wdir / "crawl-1.warc.gz"), compress=True)
+
+    q = run_ingest_kg(spark, str(wdir), out, ckpt, buckets=4,
+                      source="warc")
+    q.awaitTermination(180)
+
+    def merged():
+        return {tuple(r[k] for k in key): r.n_sources
+                for r in read_edges(spark, out).collect()}
+
+    def batch_want():
+        return {tuple(r[k] for k in key): r.n_sources
+                for r in build_kg(read_warc(spark, str(wdir)),
+                                  persist=False).edges.collect()}
+
+    assert merged() == batch_want()
+
+    # a new archive arrives; resume drains ONLY it
+    write_warc(_mk_records(10, start=200),
+               str(wdir / "crawl-2.warc.gz"), compress=True)
+    q2 = run_ingest_kg(spark, str(wdir), out, ckpt, buckets=4,
+                       source="warc")
+    q2.awaitTermination(180)
+    assert merged() == batch_want()
+    # three snapshots landed at most (one per micro-batch) and the
+    # second run did not reprocess the first two archives' pages
+    log = spark.read.parquet(f"{out}/page_log")
+    assert log.select("url").distinct().count() == 40
+    assert log.count() == 40
+
+
 def test_read_warc_log_flags_bad_file(spark, tmp_path):
     wdir = tmp_path / "warcs"
     wdir.mkdir()
