@@ -56,10 +56,17 @@ def _union_find_local(edge_rows, spark, id_type):
         m = root_min.get(r)
         if m is None or x < m:
             root_min[r] = x
-    rows = [(x, root_min[find(x)]) for x in parent]
+    # Arrow on the RETURN path too (round-4 verdict carried minor):
+    # createDataFrame(pandas) ships one Arrow batch instead of
+    # pickling up to 2M Python tuples row-by-row through py4j
+    import pandas as pd
+
     schema = StructType([StructField("id", id_type),
                          StructField("cluster_id", id_type)])
-    return spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame({
+        "id": list(parent),
+        "cluster_id": [root_min[find(x)] for x in parent]})
+    return spark.createDataFrame(pdf, schema)
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",

@@ -116,3 +116,34 @@ def test_components_match_union_find_on_random_graphs(spark):
                    for r in connected_components(
                        df, driver_threshold=thresh).collect()}
             assert got == want, f"trial {trial} thresh {thresh}"
+
+
+def test_ensure_parallelism_plan_stats_probe(spark):
+    """Round-4 verdict carried minor: the probe must not force physical
+    planning via df.rdd. Decision mirrors the scan's split arithmetic:
+    small estimated input -> repartition(target); input whose estimate
+    exceeds target*maxPartitionBytes -> no-op (same object back)."""
+    from racket_linkeddata_spark.operators.util import (
+        _parse_bytes,
+        ensure_parallelism,
+    )
+
+    assert _parse_bytes("134217728", 0) == 134217728
+    assert _parse_bytes("128MB", 0) == 128 << 20
+    assert _parse_bytes("128m", 0) == 128 << 20
+    assert _parse_bytes("1g", 0) == 1 << 30
+    assert _parse_bytes("junk", 7) == 7
+
+    target = spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    up = ensure_parallelism(docs)
+    assert up is not docs  # small corpus: repartitioned up
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # shrink the split size so the same corpus counts as "big"
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        big = ensure_parallelism(docs)
+        assert big is docs  # no-op, no repartition node added
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
