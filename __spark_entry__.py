@@ -603,7 +603,14 @@ def _oracle_langid_model() -> str:
     table (generated from the same embedded seed corpora, emitted as a
     VALUES literal), trigram explode via range+substring, script-block
     counts via regexp char classes, the same decision cascade. Every
-    score is an integer, so the value hash is exact."""
+    score is an integer, so the value hash is exact.
+
+    Known bound: exactness assumes 1:1 lowercase mappings. Python
+    str.lower() expands e.g. Turkish 'İ' (U+0130) to 'i'+combining-dot
+    while DuckDB's utf8proc lower() yields plain 'i', so a corpus
+    containing such characters in the sampled prefix could diverge;
+    the bench corpora are ASCII and the model itself is unaffected
+    (only this SQL replica is)."""
     from racket_linkeddata_spark.operators.langid import (
         SAMPLE_CHARS,
         SCRIPT_LANGS,

@@ -44,6 +44,19 @@ def main():
                         "do not apply)")
     args = p.parse_args()
 
+    if args.stream:
+        # validate BEFORE the JVM spins up: these are usage errors
+        if args.resume or args.compact or args.n_synth:
+            raise SystemExit("--stream takes --pages or --warc only "
+                             "(checkpoint IS the resume mechanism)")
+        if args.pages and args.warc:
+            # silently preferring one would parse the other directory
+            # with the wrong reader (review r05a: parquet bytes through
+            # parse_warc "succeed" as an empty KG)
+            raise SystemExit("--stream: give --pages OR --warc, not both")
+        if not (args.pages or args.warc):
+            raise SystemExit("--stream needs --pages or --warc")
+
     # Deployment-agnostic session: no master/memory pinning here (that's
     # spark-submit's job on a cluster), but DO bound the Arrow batch
     # size: page rows carry multi-KB html binaries, and the default
@@ -68,12 +81,7 @@ def main():
     from racket_linkeddata_spark.sources.pages import synthesize_pages
 
     if args.stream:
-        if args.resume or args.compact or args.n_synth:
-            raise SystemExit("--stream takes --pages or --warc only "
-                             "(checkpoint IS the resume mechanism)")
         path = args.pages or args.warc
-        if not path:
-            raise SystemExit("--stream needs --pages or --warc")
         from racket_linkeddata_spark.plans.kg import read_edges
         from racket_linkeddata_spark.streaming.ingest import run_ingest_kg
         q = run_ingest_kg(spark, path, args.out,
@@ -81,7 +89,12 @@ def main():
                           buckets=args.buckets,
                           source="warc" if args.warc else "parquet")
         q.awaitTermination()
-        n = read_edges(spark, args.out).count()
+        try:
+            n = read_edges(spark, args.out).count()
+        except Exception:
+            # zero micro-batches fired (nothing in the input dir yet):
+            # the store was never created — that is a valid drain
+            n = 0
         print(f"kg-construct done: {n} edges at {args.out} (streamed)")
         spark.stop()
         return

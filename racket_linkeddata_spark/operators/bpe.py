@@ -49,6 +49,22 @@ PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
 Merges = Sequence[Tuple[str, str]]
 
 
+def _apply_merge(syms: List[str], a: str, b: str) -> List[str]:
+    """Replace every left-to-right non-overlapping adjacent (a, b) with
+    the merged symbol — shared by encoder and trainer so their merge
+    semantics cannot drift."""
+    out: List[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
     """Apply the rank-merge loop to one pretoken."""
     syms = list(word)
@@ -60,17 +76,7 @@ def bpe_encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
                 best_rank, best_pair = r, (syms[i], syms[i + 1])
         if best_pair is None:
             break
-        a, b = best_pair
-        out: List[str] = []
-        i = 0
-        while i < len(syms):
-            if (i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b):
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _apply_merge(syms, *best_pair)
     return syms
 
 
@@ -105,16 +111,7 @@ def train_bpe(texts: Iterable[str], n_merges: int) -> List[Tuple[str, str]]:
         a, b = best
         new_vocab: Dict[Tuple[str, ...], int] = {}
         for syms, f in vocab.items():
-            out: List[str] = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            key = tuple(_apply_merge(list(syms), a, b))
             new_vocab[key] = new_vocab.get(key, 0) + f
         vocab = new_vocab
     return merges

@@ -3,7 +3,7 @@
 The oracle-anchored stopword heuristic (textstats.lang_id) covers 4
 Latin-script languages; a real pipeline needs more. This module ships a
 self-contained character-trigram model (Cavnar & Trenkle 1994,
-"N-Gram-Based Text Categorization") trained at import time from small
+"N-Gram-Based Text Categorization") trained once per process from small
 embedded seed corpora, plus a Unicode-script tier for languages whose
 script is decisive. No reference counterpart (the reference never does
 text analysis); SURVEY.md LLM-pipeline extension, round-4 verdict #3.
@@ -284,10 +284,23 @@ def _classify(text, langs, index, sample_chars) -> Tuple[str, int]:
     return langs[scores.index(best)], best  # ties: smallest lang code
 
 
+_DEFAULT_MODEL = None
+
+
+def _default_model():
+    """(langs, inverted index) for the embedded seed corpora, built
+    once per process and cached (review r05a: rebuilding per call
+    re-counted every seed corpus's trigrams)."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = _inverted(build_profiles())
+    return _DEFAULT_MODEL
+
+
 def classify_text(text: str,
                   sample_chars: int = SAMPLE_CHARS) -> Tuple[str, int]:
     """Single-string entry point (tests, driver-side probes)."""
-    langs, index = _inverted(build_profiles())
+    langs, index = _default_model()
     return _classify(text, langs, index, sample_chars)
 
 
@@ -303,7 +316,7 @@ def lang_id_model(docs: DataFrame, text_col: str = "text",
     cost is one pass over the sampled prefix of each document."""
     from .util import ensure_parallelism
 
-    langs, index = _inverted(build_profiles())
+    langs, index = _default_model()
 
     @F.pandas_udf("struct<lang:string, lang_score:bigint>")
     def udf(texts: pd.Series) -> pd.DataFrame:

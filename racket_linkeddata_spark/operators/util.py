@@ -52,14 +52,28 @@ def ensure_parallelism(df: DataFrame, multiple: int = 2) -> DataFrame:
         # not the giant file scan the no-op exists for
         return df.repartition(target)
     if est >= target * max_pb:
-        # size alone yields >= target splits — checked FIRST so the
-        # 100 TB case never pays the inputFiles listing below
-        return df
+        # size alone yields >= target splits for SPLITTABLE sources —
+        # checked FIRST so the 100 TB parquet case never pays the
+        # inputFiles listing below. binaryFile relations (the WARC
+        # source) are NON-splittable: one file = one partition no
+        # matter the bytes, so a handful of multi-GB archives would
+        # starve the extraction stage if the size short-circuit
+        # applied (review r05a) — for those, few files means few
+        # partitions, and listing few files is cheap.
+        if "binaryFile" not in \
+                df._jdf.queryExecution().optimizedPlan().toString():
+            return df
+        if len(df.inputFiles()) >= target:
+            return df
+        return df.repartition(target)
     # small data: splits ~ file count when each file's open cost fills
     # a split (the session pins openCostInBytes = maxPartitionBytes
     # exactly so small files never pack) — a staged table written from
     # >= target partitions is already parallel; re-shuffling it cost
-    # kg_build ~25% (measured)
+    # kg_build ~25% (measured). A small NON-file input (createDataFrame,
+    # post-shuffle subtree: inputFiles = []) that already has >= target
+    # partitions gets one redundant shuffle here — of data the estimate
+    # just bounded as small.
     if open_cost >= max_pb and len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)

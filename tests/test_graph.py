@@ -147,3 +147,27 @@ def test_ensure_parallelism_plan_stats_probe(spark):
         assert big is docs  # no-op, no repartition node added
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_ensure_parallelism_binaryfile_never_size_short_circuits(
+        spark, tmp_path):
+    """Review r05a: binaryFile sources are NON-splittable (one file =
+    one partition regardless of bytes), so a large size estimate must
+    not skip the repartition the way it does for parquet."""
+    from racket_linkeddata_spark.operators.util import ensure_parallelism
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for i in range(2):
+        (d / f"f{i}.bin").write_bytes(b"x" * 200_000)
+    files = spark.read.format("binaryFile").load(str(d))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # shrink the split size so 400 KB counts as "big" (est >=
+        # target * maxPartitionBytes) — the parquet fast path would
+        # no-op here; binaryFile must fall through to the file count
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+        up = ensure_parallelism(files)
+        assert up is not files  # 2 files < target: repartitioned
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -261,3 +261,32 @@ def test_resume_aborts_when_lineage_unreadable(spark, tmp_path):
     edges_after = sorted(
         str(p) for p in (tmp_path / "kg" / "edges").rglob("*.parquet"))
     assert edges_after == edges_before
+
+
+def test_kg_job_stream_flag_validation(tmp_path):
+    """Review r05a: --stream with BOTH --pages and --warc must be
+    rejected (the wrong reader would silently yield an empty KG), and
+    an empty input dir must drain to '0 edges', not crash on a
+    never-created store. Validation happens before the JVM starts."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    base = [sys.executable, "/root/repo/jobs/kg_job.py",
+            "--out", str(tmp_path / "kg"), "--stream"]
+    both = subprocess.run(
+        base + ["--pages", "/x", "--warc", "/y"],
+        env=env, capture_output=True, text=True, timeout=60)
+    assert both.returncode != 0 and "not both" in both.stderr
+
+    neither = subprocess.run(base, env=env, capture_output=True,
+                             text=True, timeout=60)
+    assert neither.returncode != 0 and "needs" in neither.stderr
+
+    empty = tmp_path / "emptywarcs"
+    empty.mkdir()
+    drain = subprocess.run(base + ["--warc", str(empty)], env=env,
+                           capture_output=True, text=True, timeout=600)
+    assert drain.returncode == 0, drain.stderr[-2000:]
+    assert "0 edges" in drain.stdout
