@@ -67,6 +67,13 @@ def main():
              fromlist=["ivf_topk"]).ivf_topk(
                  e, e.filter("vec_id < 5"), k=5))(
                      spark.read.parquet(f"{sf}/embeddings.parquet")), 80)),
+        ("Language-ID model (lang_id_model): map-only — one Arrow "
+         "pandas UDF over the scan, the only exchange is the "
+         "small-input parallelism floor",
+         cap(em.q_text_langid_model(spark, sf), 40)),
+        ("BPE token pricing (bpe_token_count): map-only Arrow UDF, "
+         "same shape",
+         cap(em.q_text_tokens_bpe_real(spark, sf), 40)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "

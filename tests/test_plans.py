@@ -137,3 +137,16 @@ def test_fingerprint_no_materialized_hash_arrays(spark):
     p = _plan(fingerprint(docs))
     assert "transform(" not in p and "aggregate(" not in p
     assert p.count("ArrowEvalPython") == 1
+
+
+def test_langid_model_and_bpe_are_map_only(spark):
+    """The per-row ops (language-ID model, BPE pricing) must stay
+    map-only: one Arrow UDF stage, at most the parallelism-floor
+    exchange, no join/aggregate/sort anywhere in the plan."""
+    for df in (em.q_text_langid_model(spark, SF),
+               em.q_text_tokens_bpe_real(spark, SF)):
+        p = _plan(df)
+        assert p.count("ArrowEvalPython") == 1
+        assert p.count("Exchange") <= 1
+        for node in ("Join", "HashAggregate", "Sort", "Window"):
+            assert node not in p, (node, p[:500])
