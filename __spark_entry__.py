@@ -115,7 +115,11 @@ FROM documents
 # hashes folded to 31 bits -> 16 affine-rehash minima -> 4 bands of 4
 # rows -> candidate pairs within each band bucket (cap 512), distinct.
 _MERSENNE = (1 << 31) - 1
-_ORACLE_MINHASH_LSH = f"""
+def _oracle_minhash_lsh(table: str = "documents") -> str:
+    """DuckDB replica of minhash_lsh_candidates over ``table`` (a view
+    or an outer CTE with (doc_id, text)) — parameterized so composed
+    pipelines can scope it to a survivor subset."""
+    return f"""
 WITH sh AS (
   SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) >= 3
@@ -125,7 +129,7 @@ WITH sh AS (
                           string_split(text, ' ')[i+1] || ' ' ||
                           string_split(text, ' ')[i+2]))
               ELSE [] END AS s
-  FROM documents),
+  FROM {table}),
 base AS (
   SELECT doc_id,
          list_transform(s, g ->
@@ -152,6 +156,9 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM ok a JOIN ok b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+_ORACLE_MINHASH_LSH = _oracle_minhash_lsh()
 
 
 def _srp_planes_values(dim: int = 64, n: int = 64) -> str:
@@ -1038,6 +1045,130 @@ def q_text_tokens_bpe(spark, sf_dir):
         .cast("bigint").alias("n_bpe_tokens"))
 
 
+def q_training_data_prep(spark, sf_dir):
+    """The END-TO-END training-data prep pipeline — what a 100 TB crawl
+    actually runs before pretraining, composed from the scale-shaped
+    operators and verified as ONE exact cross-engine query:
+
+    1. exact dedup (full-text md5, keep the min doc_id);
+    2. near-dup dedup on survivors: minhash-LSH candidates -> exact
+       Jaccard verify (>= 0.5) on candidate-only shingles -> connected
+       components -> one keeper per cluster;
+    3. quality gate: >= 5 whitespace tokens and fixed-point mean word
+       length in [2, 20] (the C4-style length filters);
+    4. annotate what survives: language (trigram/script model) and BPE
+       token price (the [(t,h),(th,e)] table with the closed-form
+       oracle).
+
+    Returns (doc_id, lang, n_tokens) for the documents a training run
+    would keep. Oracle: the composed DuckDB replica stitched from the
+    per-operator replicas, value-hash exact."""
+    from racket_linkeddata_spark.operators.bpe import bpe_token_count
+    from racket_linkeddata_spark.operators.graph import dedup_keepers
+    from racket_linkeddata_spark.operators.langid import lang_id_model
+    from racket_linkeddata_spark.operators.textstats import (
+        minhash_lsh_candidates, shingles)
+
+    d = _docs(spark, sf_dir)
+    # stage 1: exact dedup — one map-side-combinable aggregate on the
+    # text hash, survivors rejoined by id
+    keep1 = (d.select("doc_id", F.md5("text").alias("th"))
+             .groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    surv = (d.join(keep1, "doc_id")
+            .localCheckpoint(eager=False))  # consumed by 3 stages
+
+    # stage 2: near-dup (same shape as q_dedup_text_pipeline, scoped
+    # to exact-dedup survivors)
+    cand = minhash_lsh_candidates(surv, n=3, k=16,
+                                  bands=4).localCheckpoint(eager=False)
+    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    cd = surv.join(cand_ids, "doc_id")
+    sh = (cd.select("doc_id", shingles(cd, 3).alias("sh"))
+          .localCheckpoint(eager=False))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    verified = (cand.join(a, "doc_a").join(b, "doc_b")
+                .filter(F.size("sh_a") > 0)
+                .filter(F.round(jac, 4) >= 0.5)
+                .select("doc_a", "doc_b"))
+    kept = (dedup_keepers(verified, surv.select("doc_id"))
+            .filter("keep").select("doc_id"))
+
+    # stage 3: quality gate (fixed-point, exactly SQL-replicable)
+    words = F.split(F.col("text"), " ")
+    mwl = (F.lit(1000) * F.length(F.regexp_replace("text", " ", ""))
+           / F.size(words)).cast("bigint")
+    gated = (surv.join(kept, "doc_id")
+             .filter((F.size(words) >= 5) & mwl.between(2000, 20000))
+             .select("doc_id", "text"))
+
+    # stage 4: annotate survivors — both map-only ops (pinning gated
+    # measured no gain: its parents are already checkpointed)
+    lang = lang_id_model(gated).select("doc_id", "lang")
+    bpe = bpe_token_count(gated, [("t", "h"), ("th", "e")])
+    return gated.select("doc_id").join(lang, "doc_id").join(bpe, "doc_id")
+
+
+def _oracle_training_data_prep() -> str:
+    """Composed DuckDB replica: per-operator replicas stitched into one
+    WITH RECURSIVE chain (exact dedup -> scoped minhash/verify/CC ->
+    quality gate -> langid + BPE annotation)."""
+    return f"""
+        WITH RECURSIVE
+        keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+        surv AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+        cand AS (SELECT * FROM ({_oracle_minhash_lsh('surv')}) q),
+        shv AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) >= 3
+                      THEN list_distinct(list_transform(
+                             range(1, len(string_split(text, ' ')) - 1),
+                             i -> string_split(text, ' ')[i] || ' ' ||
+                                  string_split(text, ' ')[i+1] || ' ' ||
+                                  string_split(text, ' ')[i+2]))
+                      ELSE [] END AS s
+          FROM surv),
+        verified AS (
+          SELECT c.doc_a AS src, c.doc_b AS dst
+          FROM cand c
+          JOIN shv a ON a.doc_id = c.doc_a
+          JOIN shv b ON b.doc_id = c.doc_b
+          WHERE len(a.s) > 0
+            AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.s, b.s))), 4)
+                >= 0.5),
+        edges AS (SELECT src, dst FROM verified
+                  UNION SELECT dst, src FROM verified),
+        walk(id, r) AS (
+          SELECT doc_id, doc_id FROM surv
+          UNION
+          SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+        keepers AS (SELECT id AS doc_id FROM walk
+                    GROUP BY id HAVING min(r) = id),
+        gated AS (
+          SELECT s.doc_id FROM surv s JOIN keepers USING (doc_id)
+          WHERE len(string_split(s.text, ' ')) >= 5
+            AND CAST(floor(1000.0 * length(replace(s.text, ' ', '')) /
+                     len(string_split(s.text, ' '))) AS BIGINT)
+                BETWEEN 2000 AND 20000),
+        lang AS (SELECT * FROM ({_oracle_langid_model()}) l),
+        bpe AS (
+          SELECT doc_id,
+                 CAST(length(replace(text, ' ', ''))
+                      - (length(text) - length(replace(text, 'th', ''))) / 2
+                      - (length(text) - length(replace(text, 'the', ''))) / 3
+                      AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT g.doc_id, l.lang, b.n_tokens
+        FROM gated g JOIN lang l USING (doc_id) JOIN bpe b USING (doc_id)"""
+
+
 def q_text_tokens_bpe_real(spark, sf_dir):
     """REAL BPE token pricing (rank-merge loop, round-4 verdict #4)
     with the mini merge table [(t,h), (th,e)]. Chosen because its
@@ -1106,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_tokens_bpe_real": q_text_tokens_bpe_real,
+        "training_data_prep": q_training_data_prep,
     }
 
 
@@ -1426,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ivf_topk(),
         "text_langid_model": _oracle_langid_model(),
+        "training_data_prep": _oracle_training_data_prep(),
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
