@@ -172,6 +172,66 @@ def _srp_buckets_udf(n_planes: int, n_tables: int):
     return buckets_udf
 
 
+def kmeans_centroids(embeddings: DataFrame, k: int = 64,
+                     max_iter: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Spherical-k-means coarse-quantizer trainer — the 'train' half of
+    IVF that ivf_topk's sampled default stands in for. Feed the result
+    straight in: ``ivf_topk(emb, q, centroids=kmeans_centroids(emb))``.
+
+    Lloyd iterations, Spark-shaped: per round, ONE Arrow-batched matmul
+    assigns every vector its nearest (rounded-cosine) centroid, then a
+    posexplode + two-phase (cell, dim) sum/count aggregate computes the
+    new means — k*dim rows (a few thousand doubles) collected to the
+    driver per round, never the corpus. The corpus scan is pinned with
+    a lazy localCheckpoint so ``max_iter`` rounds rescan blocks instead
+    of re-reading the source. Each round's plan is built fresh from the
+    driver-held centroid matrix: no growing lineage, no Catalyst-depth
+    hazard. Empty cells keep their previous centroid.
+
+    Init is the same deterministic hash-ordered sample ivf_topk uses,
+    so train->probe is reproducible end-to-end (means themselves can
+    differ in the last float bit across runs: partial-aggregate merge
+    order is not fixed)."""
+    from .util import ensure_parallelism
+
+    ids, cent = _ivf_centroids(embeddings, k, None, None, id_col, vec_col)
+    corpus = (ensure_parallelism(embeddings)
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .localCheckpoint(eager=False))
+    spark = embeddings.sparkSession
+
+    for _ in range(max_iter):
+        cent_n = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T
+
+        @F.pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ cent_n, 4)
+            return pd.Series(
+                np.argsort(-sims, axis=1, kind="stable")[:, 0]
+                .astype("int32"))
+
+        stats = (corpus.select(nearest(F.col("v")).alias("cell"),
+                               F.posexplode("v"))
+                 .groupBy("cell", "pos")
+                 .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+                 .collect())
+        new_cent = cent.copy()
+        for r in stats:
+            new_cent[r.cell, r.pos] = r.s / r.n
+        cent = new_cent
+
+    pdf = pd.DataFrame({id_col: np.arange(k, dtype=np.int64),
+                        vec_col: list(cent)})
+    return spark.createDataFrame(
+        pdf, f"{id_col} long, {vec_col} array<double>")
+
+
 def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
                    centroids: Optional[DataFrame], centroid_mod: Optional[int],
                    id_col: str, vec_col: str):

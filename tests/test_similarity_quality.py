@@ -180,3 +180,44 @@ def test_embedding_near_dup_lsh_recall_and_subset(spark):
     assert lsh <= exact, f"false positives: {lsh - exact}"
     recall = len(planted & lsh) / len(planted)
     assert recall >= 0.95, f"recall {recall}"
+
+
+def test_kmeans_trained_ivf(spark):
+    """The train half of IVF: kmeans_centroids output feeds ivf_topk's
+    centroids path; cells still partition the corpus; probing every
+    cell is exhaustive == brute force; training IMPROVES coarse
+    assignment quality vs the raw sample init (higher mean cosine of
+    vectors to their assigned centroid)."""
+    from racket_linkeddata_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    import numpy as np
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    km = kmeans_centroids(e, k=8, max_iter=3)
+    assert km.count() == 8
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.item_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    full = {(r.query_id, r.item_id)
+            for r in ivf_topk(e, q, k=5, centroids=km,
+                              nprobe=8).collect()}
+    assert full == exact
+
+    def assign_quality(cent_rows):
+        cent = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        vecs = np.asarray(
+            [r.embedding for r in e.select("embedding").collect()],
+            dtype=np.float64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return float((vn @ cn.T).max(axis=1).mean())
+
+    init_ids, init_cent = _ivf_centroids(e, 8, None, None,
+                                         "vec_id", "embedding")
+    trained = [(r.vec_id, r.embedding) for r in km.collect()]
+    q_init = assign_quality(list(zip(init_ids, init_cent)))
+    q_trained = assign_quality(trained)
+    assert q_trained >= q_init - 1e-9, (q_init, q_trained)
