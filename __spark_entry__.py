@@ -115,12 +115,12 @@ FROM documents
 # hashes folded to 31 bits -> 16 affine-rehash minima -> 4 bands of 4
 # rows -> candidate pairs within each band bucket (cap 512), distinct.
 _MERSENNE = (1 << 31) - 1
-def _oracle_minhash_lsh(table: str = "documents") -> str:
-    """DuckDB replica of minhash_lsh_candidates over ``table`` (a view
-    or an outer CTE with (doc_id, text)) — parameterized so composed
-    pipelines can scope it to a survivor subset."""
+def _oracle_shingles(table: str = "documents") -> str:
+    """3-gram shingle SELECT (doc_id, s) over ``table`` — the single
+    source of truth for shingle SQL across the minhash, text-pipeline,
+    and composed training-data-prep oracles (review r05b: three
+    copy-pasted variants could drift)."""
     return f"""
-WITH sh AS (
   SELECT doc_id,
          CASE WHEN len(string_split(text, ' ')) >= 3
               THEN list_distinct(list_transform(
@@ -129,7 +129,28 @@ WITH sh AS (
                           string_split(text, ' ')[i+1] || ' ' ||
                           string_split(text, ' ')[i+2]))
               ELSE [] END AS s
-  FROM {table}),
+  FROM {table}"""
+
+
+def _oracle_bpe_tokens(table: str = "documents") -> str:
+    """Closed form of the [(t,h),(th,e)] BPE merge table (see
+    q_text_tokens_bpe_real for the derivation) — shared by the
+    standalone and composed oracles."""
+    return f"""
+  SELECT doc_id,
+         CAST(length(replace(text, ' ', ''))
+              - (length(text) - length(replace(text, 'th', ''))) / 2
+              - (length(text) - length(replace(text, 'the', ''))) / 3
+              AS BIGINT) AS n_tokens
+  FROM {table}"""
+
+
+def _oracle_minhash_lsh(table: str = "documents") -> str:
+    """DuckDB replica of minhash_lsh_candidates over ``table`` (a view
+    or an outer CTE with (doc_id, text)) — parameterized so composed
+    pipelines can scope it to a survivor subset."""
+    return f"""
+WITH sh AS ({_oracle_shingles(table)}),
 base AS (
   SELECT doc_id,
          list_transform(s, g ->
@@ -1099,9 +1120,12 @@ def q_training_data_prep(spark, sf_dir):
     kept = (dedup_keepers(verified, surv.select("doc_id"))
             .filter("keep").select("doc_id"))
 
-    # stage 3: quality gate (fixed-point, exactly SQL-replicable)
+    # stage 3: quality gate (fixed-point, exactly SQL-replicable).
+    # 1000 as LONG: an int multiply overflows (ANSI error / silent
+    # wrap) at ~2.1 MB of text — review r05b
     words = F.split(F.col("text"), " ")
-    mwl = (F.lit(1000) * F.length(F.regexp_replace("text", " ", ""))
+    mwl = (F.lit(1000).cast("long")
+           * F.length(F.regexp_replace("text", " ", ""))
            / F.size(words)).cast("bigint")
     gated = (surv.join(kept, "doc_id")
              .filter((F.size(words) >= 5) & mwl.between(2000, 20000))
@@ -1124,16 +1148,7 @@ def _oracle_training_data_prep() -> str:
                   GROUP BY md5(text)),
         surv AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
         cand AS (SELECT * FROM ({_oracle_minhash_lsh('surv')}) q),
-        shv AS (
-          SELECT doc_id,
-                 CASE WHEN len(string_split(text, ' ')) >= 3
-                      THEN list_distinct(list_transform(
-                             range(1, len(string_split(text, ' ')) - 1),
-                             i -> string_split(text, ' ')[i] || ' ' ||
-                                  string_split(text, ' ')[i+1] || ' ' ||
-                                  string_split(text, ' ')[i+2]))
-                      ELSE [] END AS s
-          FROM surv),
+        shv AS ({_oracle_shingles('surv')}),
         verified AS (
           SELECT c.doc_a AS src, c.doc_b AS dst
           FROM cand c
@@ -1158,13 +1173,7 @@ def _oracle_training_data_prep() -> str:
                      len(string_split(s.text, ' '))) AS BIGINT)
                 BETWEEN 2000 AND 20000),
         lang AS (SELECT * FROM ({_oracle_langid_model()}) l),
-        bpe AS (
-          SELECT doc_id,
-                 CAST(length(replace(text, ' ', ''))
-                      - (length(text) - length(replace(text, 'th', ''))) / 2
-                      - (length(text) - length(replace(text, 'the', ''))) / 3
-                      AS BIGINT) AS n_tokens
-          FROM documents)
+        bpe AS ({_oracle_bpe_tokens('documents')})
         SELECT g.doc_id, l.lang, b.n_tokens
         FROM gated g JOIN lang l USING (doc_id) JOIN bpe b USING (doc_id)"""
 
@@ -1449,16 +1458,7 @@ def oracle_sql() -> dict[str, str]:
                    max(bsz) AS max_bucket_size
             FROM sized GROUP BY band""",
         "dedup_text_pipeline": f"""
-            WITH RECURSIVE sh0 AS (
-              SELECT doc_id,
-                     CASE WHEN len(string_split(text, ' ')) >= 3
-                          THEN list_distinct(list_transform(
-                                 range(1, len(string_split(text, ' ')) - 1),
-                                 i -> string_split(text, ' ')[i] || ' ' ||
-                                      string_split(text, ' ')[i+1] || ' ' ||
-                                      string_split(text, ' ')[i+2]))
-                          ELSE [] END AS s
-              FROM documents),
+            WITH RECURSIVE sh0 AS ({_oracle_shingles('documents')}),
             cand AS (SELECT * FROM ({_ORACLE_MINHASH_LSH}) q),
             verified AS (
               SELECT c.doc_a AS src, c.doc_b AS dst
@@ -1604,13 +1604,5 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
             FROM documents""",
-        # closed form of the [(t,h),(th,e)] BPE merge table; see
-        # q_text_tokens_bpe_real for the derivation
-        "text_tokens_bpe_real": """
-            SELECT doc_id,
-                   CAST(length(replace(text, ' ', ''))
-                        - (length(text) - length(replace(text, 'th', ''))) / 2
-                        - (length(text) - length(replace(text, 'the', ''))) / 3
-                        AS BIGINT) AS n_tokens
-            FROM documents""",
+        "text_tokens_bpe_real": _oracle_bpe_tokens(),
     }

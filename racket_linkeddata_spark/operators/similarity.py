@@ -172,6 +172,25 @@ def _srp_buckets_udf(n_planes: int, n_tables: int):
     return buckets_udf
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize, leaving zero rows zero (0/0 would poison every
+    cosine downstream with NaN — review r05b)."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _nearest_cells(vecs: np.ndarray, cent_n: np.ndarray,
+                   n: int) -> np.ndarray:
+    """Top-n centroid COLUMN indices per vector under the shared
+    assignment rule: rounded-4 cosine, stable argsort (ties to the
+    lowest index). The ONE kernel both ivf_topk's assign/probe and
+    kmeans_centroids' Lloyd step use — train->probe reproducibility
+    depends on them never drifting (review r05b)."""
+    sims = np.round(_unit_rows(vecs) @ cent_n, 4)
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n]
+
+
 def kmeans_centroids(embeddings: DataFrame, k: int = 64,
                      max_iter: int = 5,
                      id_col: str = "vec_id",
@@ -197,24 +216,22 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 64,
     from .util import ensure_parallelism
 
     ids, cent = _ivf_centroids(embeddings, k, None, None, id_col, vec_col)
+    k = len(ids)  # corpus smaller than k: train what was sampled
     corpus = (ensure_parallelism(embeddings)
               .select(F.col(vec_col).cast("array<double>").alias("v"))
               .localCheckpoint(eager=False))
     spark = embeddings.sparkSession
 
     for _ in range(max_iter):
-        cent_n = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T
+        cent_n = _unit_rows(cent).T
 
         @F.pandas_udf("int")
         def nearest(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype="int32")
             m = np.asarray(vecs.tolist(), dtype=np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = np.round(mn @ cent_n, 4)
             return pd.Series(
-                np.argsort(-sims, axis=1, kind="stable")[:, 0]
-                .astype("int32"))
+                _nearest_cells(m, cent_n, 1)[:, 0].astype("int32"))
 
         stats = (corpus.select(nearest(F.col("v")).alias("cell"),
                                F.posexplode("v"))
@@ -224,6 +241,10 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 64,
         new_cent = cent.copy()
         for r in stats:
             new_cent[r.cell, r.pos] = r.s / r.n
+        # a mean that collapsed to ~zero (opposing members) would be a
+        # dead NaN cell forever — keep the previous centroid instead
+        dead = np.linalg.norm(new_cent, axis=1) == 0
+        new_cent[dead] = cent[dead]
         cent = new_cent
 
     pdf = pd.DataFrame({id_col: np.arange(k, dtype=np.int64),
@@ -315,22 +336,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     cent_ids, cent = _ivf_centroids(embeddings, n_centroids, centroids,
                                     centroid_mod, id_col, vec_col)
-    cent_n = (cent / np.linalg.norm(cent, axis=1, keepdims=True)).T
+    cent_n = _unit_rows(cent).T
 
     def _cells_udf(n: int):
         """Top-n centroid cells per vector (n=1: corpus assignment;
-        n=nprobe: query probe). One matmul per Arrow batch."""
+        n=nprobe: query probe). One matmul per Arrow batch; assignment
+        rule shared with kmeans_centroids via _nearest_cells (stable
+        sort on -sims: centroids are id-sorted, so ties break to the
+        ascending id)."""
         @F.pandas_udf("array<long>")
         def cells(vecs: pd.Series) -> pd.Series:
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
             m = np.asarray(vecs.tolist(), dtype=np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = np.round(mn @ cent_n, 4)
-            # order: sim desc, centroid id asc — centroids are id-sorted,
-            # so a STABLE sort on -sims breaks ties by ascending id
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(cent_ids[order]))
+            return pd.Series(list(cent_ids[_nearest_cells(m, cent_n, n)]))
         return cells
 
     corpus = ensure_parallelism(embeddings).select(

@@ -221,3 +221,31 @@ def test_kmeans_trained_ivf(spark):
     q_init = assign_quality(list(zip(init_ids, init_cent)))
     q_trained = assign_quality(trained)
     assert q_trained >= q_init - 1e-9, (q_init, q_trained)
+
+
+def test_kmeans_small_corpus_and_zero_mean_cell(spark):
+    """Review r05b: a corpus smaller than k must train len(corpus)
+    centroids (not crash building the output frame), and a cell whose
+    members average to the zero vector must keep its previous centroid
+    instead of going NaN."""
+    from racket_linkeddata_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .filter(F.col("vec_id") < 10))
+    km = kmeans_centroids(e, k=64, max_iter=2)
+    assert km.count() == 10
+
+    # opposing vectors: one cell's mean is exactly zero
+    opp = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    km2 = kmeans_centroids(opp, k=2, max_iter=3)
+    rows = km2.collect()
+    import math
+    assert all(all(not math.isnan(x) for x in r.embedding) for r in rows)
+    # and the trained table still drives ivf_topk end-to-end
+    assert ivf_topk(opp, opp.limit(1), k=2, centroids=km2,
+                    nprobe=2).count() >= 0
