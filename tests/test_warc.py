@@ -249,3 +249,39 @@ def test_read_warc_log_flags_bad_file(spark, tmp_path):
     pages = read_warc(spark, str(wdir))
     assert pages.count() == 5
     assert build_kg(pages, persist=False).edges.count() > 0
+
+
+def test_parse_warc_never_raises_property():
+    """parse_warc over arbitrary bytes (raw and gzip-wrapped) must
+    always return (records, err) — crawl archives are hostile input and
+    one bad file must never kill a task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=4000))
+    def go(data):
+        records, err = parse_warc(data)
+        assert isinstance(records, list)
+        records, err = parse_warc(b"\x1f\x8b" + data)
+        assert isinstance(records, list)
+        records, err = parse_warc(gzip.compress(data)[:-4])
+        assert isinstance(records, list)
+
+    go()
+
+
+def test_decode_html_never_raises_and_idempotent_property():
+    from racket_linkeddata_spark.core.pipeline import decode_html
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=4000))
+    def go(data):
+        once = decode_html(data)
+        assert isinstance(once, bytes)
+        assert decode_html(once) == once
+
+    go()
