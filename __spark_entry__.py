@@ -716,6 +716,45 @@ def _oracle_langid_model() -> str:
         FROM scripts sc LEFT JOIN tbest ON sc.doc_id = tbest.doc_id"""
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-token share, dup-token
+    fraction) — JVM HOF run-length over the sorted token array, no
+    explode, no shuffle; oracle explodes + groups to the same ints."""
+    from racket_linkeddata_spark.operators.textstats import (
+        repetition_stats)
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub (email/IP/phone shapes) — pure column algebra; the
+    oracle is generated from the same PII_PATTERNS table so the two
+    engines cannot drift."""
+    from racket_linkeddata_spark.operators.textstats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def _oracle_redact_pii() -> str:
+    from racket_linkeddata_spark.operators.textstats import PII_PATTERNS
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        red = (f"regexp_replace({red}, '{esc(pat)}', "
+               f"'[{name.upper()}]', 'g')")
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{esc(pat)}')) AS BIGINT) "
+        f"AS n_{name}" for name, pat in PII_PATTERNS)
+    return f"""
+        SELECT doc_id,
+               {red} AS text_redacted,
+               {counts}
+        FROM documents"""
+
+
 def q_ann_cosine_threshold(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import cosine
 
@@ -1223,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_model": q_text_langid_model,
+        "text_repetition": q_text_repetition,
+        "text_redact_pii": q_text_redact_pii,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "dedup_text_pipeline": q_dedup_text_pipeline,
@@ -1559,6 +1600,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ivf_topk(),
         "text_langid_model": _oracle_langid_model(),
         "training_data_prep": _oracle_training_data_prep(),
+        "text_redact_pii": _oracle_redact_pii(),
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            tc AS (SELECT doc_id, w, count(*) AS c FROM w
+                   GROUP BY doc_id, w),
+            agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n,
+                           count(*) AS nd FROM tc GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(top_c AS BIGINT) AS top_token_count,
+                   CAST(floor(1000.0 * top_c / n) AS BIGINT)
+                     AS top_token_x1000,
+                   CAST(floor(1000.0 * (n - nd) / n) AS BIGINT)
+                     AS dup_token_x1000
+            FROM agg""",
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

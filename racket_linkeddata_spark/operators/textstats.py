@@ -427,3 +427,70 @@ def fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
     docs = ensure_parallelism(docs)
     return (docs.select("doc_id", fp("text").alias("fp"))
             .select("doc_id", "fp.fp_min", "fp.fp_max"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM column algebra:
+
+    - ``top_token_count``: occurrences of the single most frequent
+      whitespace token — computed as the longest run in the SORTED
+      token array via one higher-order aggregate with a struct
+      accumulator (no explode, no shuffle: stays map-side);
+    - ``top_token_x1000`` / ``dup_token_x1000``: fixed-point fractions
+      (most-frequent-token share; 1 - distinct/total) — the filters
+      repetitious machine-generated pages fail.
+
+    Exactly SQL-replicable (the oracle explodes + groups instead —
+    same integers)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("long")
+    srt = F.array_sort(words)
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc, w):
+        run = (F.when(w.eqNullSafe(acc["prev"]), acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(srt, acc0, step, lambda acc: acc["best"])
+    nd = F.size(F.array_distinct(words)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top.alias("top_token_count"),
+        (F.lit(1000).cast("long") * top / n).cast("bigint")
+        .alias("top_token_x1000"),
+        (F.lit(1000).cast("long") * (n - nd) / n).cast("bigint")
+        .alias("dup_token_x1000"),
+    )
+
+
+# conservative, dialect-portable patterns (identical semantics in Java
+# regex and RE2, verified by the driver oracle): email, dotted-quad IP,
+# and a digits-with-separators phone shape
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_ip, n_phone): scrub the PII
+    shapes every training-data pipeline removes before a corpus ships.
+    Pure column algebra — regexp_count + chained regexp_replace, no
+    UDF; patterns are applied in PII_PATTERNS order so counts refer to
+    the ORIGINAL text and replacements cannot create new matches
+    (replacement tokens contain no digits or '@')."""
+    out = docs.select(
+        "doc_id", F.col(text_col).alias("_t"),
+        *[F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+          .alias(f"n_{name}") for name, pat in PII_PATTERNS])
+    red = F.col("_t")
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.select("doc_id", red.alias("text_redacted"),
+                      *[f"n_{name}" for name, _ in PII_PATTERNS])
