@@ -1611,9 +1611,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(n AS BIGINT) AS n_tokens,
                    CAST(top_c AS BIGINT) AS top_token_count,
-                   CAST(floor(1000.0 * top_c / n) AS BIGINT)
+                   -- integer division (//): the engine computes pure
+                   -- int arithmetic, and a double floor() could land
+                   -- one off when 1000*top/n is an exact integer
+                   CAST((1000 * top_c) // n AS BIGINT)
                      AS top_token_x1000,
-                   CAST(floor(1000.0 * (n - nd) / n) AS BIGINT)
+                   CAST((1000 * (n - nd)) // n AS BIGINT)
                      AS dup_token_x1000
             FROM agg""",
         "multimodal_features": _ORACLE_MULTIMODAL_FEATURES,

@@ -430,42 +430,45 @@ def fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
-    """Gopher-style repetition quality signals, all JVM column algebra:
+    """Gopher-style repetition quality signals, map-only:
 
     - ``top_token_count``: occurrences of the single most frequent
-      whitespace token — computed as the longest run in the SORTED
-      token array via one higher-order aggregate with a struct
-      accumulator (no explode, no shuffle: stays map-side);
+      whitespace token;
     - ``top_token_x1000`` / ``dup_token_x1000``: fixed-point fractions
       (most-frequent-token share; 1 - distinct/total) — the filters
       repetitious machine-generated pages fail.
 
-    Exactly SQL-replicable (the oracle explodes + groups instead —
-    same integers)."""
-    words = F.split(F.col("text"), " ")
-    n = F.size(words).cast("long")
-    srt = F.array_sort(words)
-    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
-                    F.lit(0).cast("long").alias("run"),
-                    F.lit(0).cast("long").alias("best"))
+    One Arrow-batched pandas UDF (C-speed Counter per doc). The first
+    cut was a JVM higher-order aggregate over the sorted token array —
+    zero Python, but interpreted HOF folds cost ~100x per step (the
+    repo's fingerprint lesson): measured 2.75s vs ~0.3s at sf0.1. An
+    explode + two-level groupBy would shuffle every token in the
+    corpus — wrong at 100 TB. Integer arithmetic end-to-end, so the
+    explode-based DuckDB oracle lands on identical values."""
+    import pandas as pd
+    from collections import Counter
 
-    def step(acc, w):
-        run = (F.when(w.eqNullSafe(acc["prev"]), acc["run"] + 1)
-               .otherwise(F.lit(1).cast("long")))
-        return F.struct(w.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
+    from .util import ensure_parallelism
 
-    top = F.aggregate(srt, acc0, step, lambda acc: acc["best"])
-    nd = F.size(F.array_distinct(words)).cast("long")
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        top.alias("top_token_count"),
-        (F.lit(1000).cast("long") * top / n).cast("bigint")
-        .alias("top_token_x1000"),
-        (F.lit(1000).cast("long") * (n - nd) / n).cast("bigint")
-        .alias("dup_token_x1000"),
-    )
+    @F.pandas_udf("struct<n_tokens:bigint, top_token_count:bigint, "
+                  "top_token_x1000:bigint, dup_token_x1000:bigint>")
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            n = len(toks)
+            counts = Counter(toks)
+            top = max(counts.values())
+            nd = len(counts)
+            rows.append((n, top, 1000 * top // n, 1000 * (n - nd) // n))
+        return pd.DataFrame(rows, columns=[
+            "n_tokens", "top_token_count", "top_token_x1000",
+            "dup_token_x1000"])
+
+    d = ensure_parallelism(docs)
+    res = d.select("doc_id", rep(F.col("text")).alias("r"))
+    return res.select("doc_id", "r.n_tokens", "r.top_token_count",
+                      "r.top_token_x1000", "r.dup_token_x1000")
 
 
 # conservative, dialect-portable patterns (identical semantics in Java
