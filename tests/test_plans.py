@@ -150,3 +150,15 @@ def test_langid_model_and_bpe_are_map_only(spark):
         assert p.count("Exchange") <= 1
         for node in ("Join", "HashAggregate", "Sort", "Window"):
             assert node not in p, (node, p[:500])
+
+
+def test_repetition_and_redact_plans(spark):
+    """repetition_stats: one Arrow UDF stage, map-only. redact_pii:
+    pure JVM column algebra — NO Python stage at all, no exchange."""
+    p = _plan(em.q_text_repetition(spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    for node in ("Join", "HashAggregate", "Sort", "Generate"):
+        assert node not in p
+    p = _plan(em.q_text_redact_pii(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
