@@ -219,8 +219,17 @@ SCRIPT_LANGS: List[Tuple[str, Tuple[Tuple[int, int], ...]]] = [
 ]
 
 
+# ASCII fast path: a 128-entry translate table is C-speed and agrees
+# exactly with the per-char isalpha() comprehension on ASCII input —
+# the overwhelming majority of crawl text after lowercasing
+_ASCII_NORM = {i: " " for i in range(128)
+               if not chr(i).isalpha()}
+
+
 def _normalize(text: str, sample_chars: int = SAMPLE_CHARS) -> str:
     s = text[:sample_chars].lower()
+    if s.isascii():
+        return s.translate(_ASCII_NORM)
     return "".join(ch if ch.isalpha() else " " for ch in s)
 
 
@@ -263,17 +272,20 @@ def _classify(text, langs, index, sample_chars) -> Tuple[str, int]:
     if text is None:
         return "und", 0
     norm = _normalize(text, sample_chars)
-    n_letters = sum(1 for ch in norm if ch != " ")
+    n_letters = len(norm) - norm.count(" ")
     if n_letters == 0:
         return "und", 0
-    han = _count_in_blocks(norm, _HAN)
-    kana = _count_in_blocks(norm, _KANA)
-    if 2 * (han + kana) >= n_letters:
-        return ("ja", han + kana) if kana > 0 else ("zh", han)
-    for lang, blocks in SCRIPT_LANGS:
-        n = _count_in_blocks(norm, blocks)
-        if 2 * n >= n_letters:
-            return lang, n
+    if not norm.isascii():
+        # script tiers only exist above U+0370 — pure-ASCII text
+        # (the common crawl case) skips every per-char block scan
+        han = _count_in_blocks(norm, _HAN)
+        kana = _count_in_blocks(norm, _KANA)
+        if 2 * (han + kana) >= n_letters:
+            return ("ja", han + kana) if kana > 0 else ("zh", han)
+        for lang, blocks in SCRIPT_LANGS:
+            n = _count_in_blocks(norm, blocks)
+            if 2 * n >= n_letters:
+                return lang, n
     scores = [0] * len(langs)
     for tg, cnt in _trigram_counts(norm).items():
         for li, w in index.get(tg, ()):
