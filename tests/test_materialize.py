@@ -290,3 +290,38 @@ def test_kg_job_stream_flag_validation(tmp_path):
                            capture_output=True, text=True, timeout=600)
     assert drain.returncode == 0, drain.stderr[-2000:]
     assert "0 edges" in drain.stdout
+
+
+def test_kg_job_under_spark_submit_pyfiles(spark, tmp_path):
+    """The north rule's literal launch mode: `spark-submit --py-files
+    rls.zip jobs/kg_job.py`. The package is importable ONLY from the
+    zip (no PYTHONPATH, neutral cwd), so this proves the job ships
+    itself to executors the way a real cluster submit would."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    pkg = "/root/repo/racket_linkeddata_spark"
+    zpath = str(tmp_path / "rls.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, "/root/repo"))
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    out = str(tmp_path / "kg")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    run = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--driver-memory", "2g",
+         "--py-files", zpath, "/root/repo/jobs/kg_job.py",
+         "--n-synth", "60", "--out", out, "--buckets", "4"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=420)
+    assert run.returncode == 0, (run.stdout[-1000:], run.stderr[-2000:])
+    assert "kg-construct done" in run.stdout
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.count() > 0
