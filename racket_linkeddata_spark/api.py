@@ -40,11 +40,14 @@ def _lazy_spark():
         flatten_documents,
         normalize_documents,
     )
+    from .operators.bpe import bpe_encode, bpe_token_count, train_bpe
     from .operators.graph import connected_components, dedup_keepers
+    from .operators.langid import classify_text, lang_id_model
     from .operators.similarity import (
         brute_force_topk,
         embedding_near_dup_lsh,
         ivf_topk,
+        kmeans_centroids,
         lsh_topk,
     )
     from .operators.skew import salted_agg
@@ -52,12 +55,14 @@ def _lazy_spark():
     from .operators.textstats import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
+        redact_pii,
+        repetition_stats,
         simhash,
     )
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
-    from .sources.warc import read_warc, write_warc
+    from .sources.warc import read_warc, read_warc_stream, write_warc
     from .streaming.ingest import run_ingest, run_ingest_kg
 
     return locals()
@@ -73,7 +78,11 @@ def __getattr__(name):
                  "embedding_near_dup_lsh", "minhash_lsh_candidates",
                  "ngram_jaccard_pairs", "simhash",
                  "connected_components", "dedup_keepers",
-                 "canonical_url", "dedup_by_canonical_url")
+                 "canonical_url", "dedup_by_canonical_url",
+                 "lang_id_model", "classify_text",
+                 "bpe_token_count", "bpe_encode", "train_bpe",
+                 "repetition_stats", "redact_pii",
+                 "kmeans_centroids", "read_warc_stream")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
@@ -91,4 +100,8 @@ __all__ = [
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash",
     "connected_components", "dedup_keepers",
     "canonical_url", "dedup_by_canonical_url",
+    "lang_id_model", "classify_text",
+    "bpe_token_count", "bpe_encode", "train_bpe",
+    "repetition_stats", "redact_pii",
+    "kmeans_centroids", "read_warc_stream",
 ]
