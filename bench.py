@@ -25,11 +25,22 @@ import sys
 import time
 
 
-def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
+def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
+        skip_calibration: bool = False):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
+    from bench_scaling import calibrate
     from racket_linkeddata_spark.plans.kg import build_kg, session
     from racket_linkeddata_spark.sources.pages import synthesize_pages
+
+    # Self-calibration: this host is co-tenant-shared (advertises 32
+    # cores; a 32-process pure-CPU burn has measured 9-28 effective
+    # cores depending on hypervisor weather). Every artifact carries its
+    # own denominator: effective parallelism of a pure-Python CPU burn
+    # measured immediately BEFORE and AFTER the timed suite. Best-of-N
+    # query timing picks the quietest rep, so max(pre, post) is the
+    # matching denominator for the headline; both are recorded.
+    cal_pre = None if skip_calibration else calibrate(cpus)
 
     spark = session("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -38,18 +49,23 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
     n_pages = n_pages or n_docs * 20
 
     timings = {}
+    spreads = {}
     extra = {}
 
     def timed(name, fn):
         if only and name not in only:
             return
         best = float("inf")
+        worst = 0.0
         out = None
         for _ in range(reps):  # best-of: damps co-tenant host noise
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            worst = max(worst, dt)
         timings[name] = round(best, 3)
+        spreads[name] = round(worst - best, 3)
         # cross-query hygiene: release the previous query's
         # localCheckpoint blocks (held until Python GC drops the DF)
         # so later queries aren't taxed by earlier queries' storage
@@ -86,11 +102,15 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
     if not only or "kg_build" in only:
         # best-of-N to damp shared-host scheduling noise
         best = float("inf")
+        worst = 0.0
         for _ in range(reps):
             t0 = time.perf_counter()
             kg_build()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            worst = max(worst, dt)
         timings["kg_build"] = round(best, 3)
+        spreads["kg_build"] = round(worst - best, 3)
     if "kg_build" in timings:
         extra["triples_per_sec"] = round(
             extra["n_raw_triples"] / timings["kg_build"], 1)
@@ -114,17 +134,31 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3):
                  "events_window"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
+    spark.stop()
+    cal_post = None if skip_calibration else calibrate(cpus)
+
     result = {
         "metric": "kg_construct headline: end-to-end canonical triples/sec "
                   "+ operator latencies",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spread_sec": spreads,  # worst-best across reps, per query
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         **extra,
     }
-    spark.stop()
+    if not skip_calibration:
+        # the artifact's own denominator: effective cores of a pure-CPU
+        # process burn at the same worker count, measured before/after
+        # the suite. best-of-N picks the quietest rep, so the max is the
+        # honest ceiling to read throughput against (1.0 = all
+        # advertised cores actually granted by the hypervisor).
+        result["calibration"] = {
+            "effective_cores_pre": cal_pre,
+            "effective_cores_post": cal_post,
+            "cpu_ceiling": round(max(cal_pre, cal_post) / cpus, 3),
+        }
     return result
 
 
@@ -141,8 +175,12 @@ def main():
     # round-3 driver snapshot regressed 4-17% on five queries purely
     # from scheduling noise that a third rep absorbs
     p.add_argument("--reps", type=int, default=3)
+    # bench_scaling.py runs its own interleaved calibration around the
+    # levels; its child invocations skip the per-run one
+    p.add_argument("--skip-calibration", action="store_true")
     args = p.parse_args()
-    result = run(args.cpus, args.sf_dir, args.only, args.n_pages, args.reps)
+    result = run(args.cpus, args.sf_dir, args.only, args.n_pages, args.reps,
+                 skip_calibration=args.skip_calibration)
     print(json.dumps(result))
 
 

@@ -54,7 +54,7 @@ def run_level(cpus: int, sf_dir: str, n_pages: int, reps: int) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "bench.py"),
            "--cpus", str(cpus), "--sf-dir", sf_dir,
            "--only", "kg_build", "--n-pages", str(n_pages),
-           "--reps", str(reps)]
+           "--reps", str(reps), "--skip-calibration"]
     total = os.cpu_count() or cpus
     if cpus < total and os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
