@@ -138,9 +138,13 @@ def _oracle_bpe_tokens(table: str = "documents") -> str:
     standalone and composed oracles."""
     return f"""
   SELECT doc_id,
-         CAST(length(replace(text, ' ', ''))
-              - (length(text) - length(replace(text, 'th', ''))) / 2
-              - (length(text) - length(replace(text, 'the', ''))) / 3
+         -- coalesce pins NULL text to the engine's bpe_token_count
+         -- (None -> 0 tokens); bare length(NULL) would yield NULL
+         CAST(length(replace(coalesce(text, ''), ' ', ''))
+              - (length(coalesce(text, ''))
+                 - length(replace(coalesce(text, ''), 'th', ''))) / 2
+              - (length(coalesce(text, ''))
+                 - length(replace(coalesce(text, ''), 'the', ''))) / 3
               AS BIGINT) AS n_tokens
   FROM {table}"""
 
@@ -718,8 +722,10 @@ def _oracle_langid_model() -> str:
 
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (top-token share, dup-token
-    fraction) — JVM HOF run-length over the sorted token array, no
-    explode, no shuffle; oracle explodes + groups to the same ints."""
+    fraction) — one map-only Arrow pandas UDF (C-speed Counter per doc;
+    the earlier JVM HOF fold measured ~5x slower and was dropped —
+    see repetition_stats), no explode, no shuffle; oracle explodes +
+    groups to the same ints."""
     from racket_linkeddata_spark.operators.textstats import (
         repetition_stats)
 
@@ -1602,7 +1608,12 @@ def oracle_sql() -> dict[str, str]:
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),
         "text_repetition": """
-            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            -- COALESCE pins NULL-text semantics to the engine's
+            -- (None -> '' -> one empty token); a bare unnest would
+            -- DROP the doc while the engine emits n_tokens=1
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(coalesce(text, ''), ' '))
+                                AS w
                        FROM documents),
             tc AS (SELECT doc_id, w, count(*) AS c FROM w
                    GROUP BY doc_id, w),

@@ -84,6 +84,16 @@ def decode_html(html: bytes) -> bytes:
             # transcode is the identity anyway) or an earlier pass's
             # output — skip the label. Genuine legacy-encoded non-ASCII
             # pages are essentially never valid utf-8.
+            # KNOWN BOUND (accepted tradeoff, see
+            # tests/test_charset.py::test_idempotence_bound): a
+            # legacy-labeled page whose non-ASCII bytes HAPPEN to form
+            # valid multi-byte utf-8 (e.g. windows-1252 'cafÃ©' =
+            # bytes C3 A9) is read as utf-8 ('café'), diverging from
+            # strict WHATWG label-honoring. In practice those bytes are
+            # mojibake from exactly this mislabeling, so utf-8 is the
+            # better read — and the alternative (honor the label) makes
+            # decode_html non-idempotent, which corrupts every
+            # WARC->page_to_triples double-decode path.
             try:
                 html.decode("utf-8")
                 return html

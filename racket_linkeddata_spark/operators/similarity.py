@@ -290,11 +290,14 @@ def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
             np.asarray([r[1] for r in cent_rows], dtype=np.float64))
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
              n_centroids: int = 8, nprobe: int = 3,
              centroids: Optional[DataFrame] = None,
              centroid_mod: Optional[int] = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    # keyword-only past k: the 4th positional slot used to be
+    # centroid_mod — a stale positional caller must fail loudly, not
+    # silently sample `mod` centroids (round-5 ADVICE)
     """Approximate top-k via an IVF-flat coarse quantizer — the OTHER
     classic ANN scale path next to SRP-LSH (lsh_topk):
 

@@ -485,9 +485,18 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_redacted, n_email, n_ip, n_phone): scrub the PII
     shapes every training-data pipeline removes before a corpus ships.
     Pure column algebra — regexp_count + chained regexp_replace, no
-    UDF; patterns are applied in PII_PATTERNS order so counts refer to
-    the ORIGINAL text and replacements cannot create new matches
-    (replacement tokens contain no digits or '@')."""
+    UDF; patterns are applied in PII_PATTERNS order and replacements
+    cannot create new matches (replacement tokens contain no digits or
+    '@').
+
+    Contract: the n_* columns count pattern OCCURRENCES IN THE ORIGINAL
+    text, not performed substitutions. When shapes overlap (an IP or a
+    phone-like digit run inside an email such as '10.0.0.1@host.com'),
+    the earlier pattern's replacement consumes the span, so n_ip /
+    n_phone can exceed the substitutions visible in text_redacted. This
+    is deliberate: original-text counts are order-independent, identical
+    cross-engine (the DuckDB oracle is generated from the same pattern
+    table), and the more useful signal for corpus auditing."""
     out = docs.select(
         "doc_id", F.col(text_col).alias("_t"),
         *[F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")

@@ -157,3 +157,27 @@ def test_unknown_charset_label_falls_through():
             '</body></html>')
     res = page_to_triples(URL, html.encode("utf-8"))
     assert res.status == "ok" and res.n_triples == 1
+
+
+def test_idempotence_bound():
+    """The DOCUMENTED divergence from strict WHATWG label-honoring
+    (accepted tradeoff, core/pipeline.py decode_html): a legacy-labeled
+    page whose non-ASCII bytes happen to be valid multi-byte utf-8 is
+    read as utf-8, not per its label. Pins the behavior so a future
+    change is a conscious decision, not drift."""
+    # bytes C3 A9 are windows-1252 'cafÃ©' AND valid utf-8 'café'; the
+    # guard picks utf-8 (in the wild these bytes are mojibake from
+    # exactly this mislabeling)
+    page = ('<html><head><meta charset="windows-1252"></head>'
+            '<body>café</body></html>').encode("utf-8")
+    out = decode_html(page)
+    assert out == page                      # passed through as utf-8
+    assert "café" in out.decode("utf-8")
+    # the flip side that motivates the guard: the transcode path is
+    # only taken for bytes that are NOT valid utf-8, so applying
+    # decode_html twice can never double-transcode
+    legacy = ('<html><head><meta charset="windows-1252"></head>'
+              '<body>caf\xe9</body></html>').encode("windows-1252")
+    once = decode_html(legacy)
+    assert "café" in once.decode("utf-8")
+    assert decode_html(once) == once
