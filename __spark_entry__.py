@@ -578,10 +578,78 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification over a corpus with PLANTED
+    near-duplicates: docs 0-29 plus a one-word-appended variant at
+    doc_id+30 (round-5 verdict: the raw corpus has no pair above
+    threshold at the driver's sf, making the gate vacuous — 0 == 0
+    rows; the planted pairs make it check ~30 real values at every
+    sf). Unrelated pairs stay below threshold; planted pairs sit near
+    (n-2)/(n-1)."""
     from racket_linkeddata_spark.operators.textstats import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3,
-                               max_docs=60)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    variants = d.select((F.col("doc_id") + 30).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" nearduptail"))
+                        .alias("text"))
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    return ngram_jaccard_pairs(corpus, n=3, threshold=0.3, max_docs=60)
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (Lee et al. passage dedup — the
+    within-document repeated-passage mode document-level dedup cannot
+    express). The corpus text is single-line, so the query derives a
+    passage-bearing corpus deterministically from `documents`: each doc
+    becomes 3 paragraphs — its own (unique) text, one of 7 shared
+    boilerplate variants keyed by doc_id % 7, and a universal footer.
+    paragraph_dedup(min_repeat=5) must drop both planted passages at
+    every sf (>= 7 occurrences each at sf0.001) and return the original
+    text byte-exact."""
+    from racket_linkeddata_spark.operators.paragraphs import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.concat(F.lit("shared boilerplate passage variant "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.lit("all rights reserved footer")).alias("text"))
+    return paragraph_dedup(aug, min_repeat=5)
+
+
+_ORACLE_DEDUP_PARAGRAPHS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared boilerplate passage variant '
+              || (doc_id % 7)
+              || chr(10) || 'all rights reserved footer' AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, len(p) + 1)) AS pos,  -- parallel unnests zip
+         unnest(p) AS para
+  FROM sp),
+keyed AS (
+  SELECT doc_id, pos, para,
+         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey,
+         length(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS nlen
+  FROM paras),
+hot AS (
+  SELECT pkey FROM keyed WHERE nlen >= 1
+  GROUP BY pkey HAVING count(*) >= 5),
+surv AS (SELECT k.* FROM keyed k ANTI JOIN hot h USING (pkey)),
+agg AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM surv GROUP BY doc_id)
+SELECT s.doc_id,
+       coalesce(a.text_dedup, '') AS text_dedup,
+       CAST(len(s.p) AS BIGINT) AS n_paragraphs,
+       CAST(len(s.p) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM sp s LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1261,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
@@ -1360,8 +1429,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT substr(text, 1, 30) AS text_prefix,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
+        "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
         "dedup_ngram_jaccard": """
-            WITH sh AS (
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 30, text || ' nearduptail'
+              FROM documents WHERE doc_id < 30),
+            sh AS (
               SELECT * FROM (
                 SELECT doc_id,
                        list_distinct(list_transform(
@@ -1369,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
                          i -> string_split(text, ' ')[i] || ' ' ||
                               string_split(text, ' ')[i+1] || ' ' ||
                               string_split(text, ' ')[i+2])) AS s
-                FROM documents WHERE doc_id < 60)
+                FROM corpus WHERE doc_id < 60)
               WHERE len(s) > 0)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

@@ -122,7 +122,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "dedup_minhash_lsh", "dedup_text_pipeline",
                  "training_data_prep",
                  "dedup_url_canonical",
-                 "dedup_ngram_jaccard",
+                 "dedup_ngram_jaccard", "dedup_paragraphs",
                  "dedup_simhash", "dedup_embedding_lsh",
                  "text_fingerprint", "text_tokens",
                  "text_tokens_bpe_real",
