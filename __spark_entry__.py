@@ -198,11 +198,15 @@ def _srp_planes_values(dim: int = 64, n: int = 64) -> str:
     dim). Caveat: sign(dot) near 0 could in principle differ between
     numpy's blocked summation and DuckDB's sequential list_inner_product
     (~1e-13 relative error window) — verified exact on the full corpus
-    for both configurations."""
+    for both configurations. Elements go through f64_sql: a bare
+    decimal literal is DECIMAL-typed and its DOUBLE conversion can be
+    one ulp off nearest-double parsing (caught by the pinned-kmeans
+    roundtrip test; buckets here happened to survive the ulp)."""
+    from racket_linkeddata_spark.operators.ivf_pinned import f64_sql
     from racket_linkeddata_spark.operators.similarity import _hyperplanes
 
     rows = ", ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(x) for x in v))
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(f64_sql(x) for x in v))
         for i, v in enumerate(_hyperplanes(dim, n)))
     return f"planes(idx, w) AS (VALUES {rows})"
 
@@ -907,6 +911,61 @@ def _oracle_ivf_topk(n_centroids: int = 8, nprobe: int = 3,
         WHERE rank <= {k}"""
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Train-then-probe IVF: ivf_topk driven by a k-means-TRAINED coarse
+    quantizer instead of the sampled default — the full IVF deployment
+    shape (train on a sample, assign + probe the corpus). The quantizer
+    is the pinned kmeans_centroids output (operators/ivf_pinned.py, see
+    its docstring for why it is frozen); the oracle replicates the
+    probe from the same float64 literals."""
+    from racket_linkeddata_spark.operators.ivf_pinned import centroids_df
+    from racket_linkeddata_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5,
+                    centroids=centroids_df(spark), nprobe=3)
+
+
+def _oracle_ivf_kmeans(nprobe: int = 3, k: int = 5) -> str:
+    """DuckDB replica of q_ann_ivf_kmeans: the pinned trained centroids
+    as a VALUES CTE (generated from the SAME literal table the Spark
+    query loads), then the ivf_topk probe — rounded-cosine argmax cell
+    assignment (ties to lowest centroid id), nprobe probe cells per
+    query, exact cosine + row_number top-k."""
+    from racket_linkeddata_spark.operators.ivf_pinned import (
+        centroids_values_cte)
+
+    def cos(a, b):
+        return (f"round(list_inner_product({a}, {b}) / "
+                f"(sqrt(list_inner_product({a}, {a})) * "
+                f"sqrt(list_inner_product({b}, {b}))), 4)")
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        {centroids_values_cte("c")},
+        sims AS (SELECT e.vec_id, c.cid, {cos('e.v', 'c.cv')} AS s
+                 FROM e CROSS JOIN c),
+        assign AS (SELECT vec_id AS item_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM sims) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cid) AS rn FROM sims
+            WHERE vec_id < 5) WHERE rn <= {nprobe}),
+        cand AS (SELECT query_id, item_id
+                 FROM probes JOIN assign USING (cell)
+                 WHERE query_id != item_id),
+        scored AS (SELECT query_id, item_id,
+                          {cos('qe.v', 'ce.v')} AS cos_sim
+                   FROM cand JOIN e qe ON qe.vec_id = query_id
+                             JOIN e ce ON ce.vec_id = item_id)
+        SELECT query_id, item_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, item_id) AS rank FROM scored)
+        WHERE rank <= {k}"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup — exact baseline (the dedup-family
     analogue of ann_cosine_threshold; the scale path is the LSH variant
@@ -1348,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
@@ -1679,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _oracle_embedding_lsh(),
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ivf_topk(),
+        "ann_ivf_kmeans": _oracle_ivf_kmeans(),
         "text_langid_model": _oracle_langid_model(),
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),

@@ -249,3 +249,58 @@ def test_kmeans_small_corpus_and_zero_mean_cell(spark):
     # and the trained table still drives ivf_topk end-to-end
     assert ivf_topk(opp, opp.limit(1), k=2, centroids=km2,
                     nprobe=2).count() >= 0
+
+
+def test_kmeans_ivf_recall_on_clustered_corpus(spark):
+    """The recall-vs-brute gate for train-then-probe IVF (round-5
+    verdict item 3): on a corpus with REAL cluster structure (8 planted
+    directions + small noise), a trained quantizer at partial probe
+    depth (nprobe=2 of 8 cells) must recover nearly all true top-5
+    neighbors — cluster members land in the same trained cell."""
+    import numpy as np
+
+    from racket_linkeddata_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(42)
+    dirs = rng.normal(size=(8, 32))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for i in range(240):
+        v = dirs[i % 8] + 0.05 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = kmeans_centroids(e, k=8, max_iter=5)
+    q = e.filter(F.col("vec_id") < 16)  # 2 queries per cluster
+    exact = {(r.query_id, r.item_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.item_id)
+              for r in ivf_topk(e, q, k=5, centroids=km,
+                                nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_pinned_ivf_quantizer_roundtrip(spark):
+    """The frozen ann_ivf_kmeans quantizer (operators/ivf_pinned.py):
+    the Spark table and the DuckDB VALUES CTE are generated from the
+    same literal list, and the literals round-trip float64-exactly."""
+    from racket_linkeddata_spark.operators.ivf_pinned import (
+        KMEANS_CENTROIDS,
+        centroids_df,
+        centroids_values_cte,
+    )
+
+    assert len(KMEANS_CENTROIDS) == 8
+    assert all(len(v) == 64 for _, v in KMEANS_CENTROIDS)
+    df = centroids_df(spark).orderBy("vec_id").collect()
+    for (cid, vec), r in zip(KMEANS_CENTROIDS, df):
+        assert r.vec_id == cid and list(r.embedding) == vec  # exact
+    cte = centroids_values_cte("c")
+    import duckdb
+    got = duckdb.sql(
+        f"WITH {cte} SELECT cid, cv FROM c ORDER BY cid").fetchall()
+    for (cid, vec), (gcid, gv) in zip(KMEANS_CENTROIDS, got):
+        assert gcid == cid and list(gv) == vec  # repr round-trip exact
