@@ -833,6 +833,108 @@ def _oracle_redact_pii() -> str:
         FROM documents"""
 
 
+def _quality_aug(d):
+    """Deterministic signal-bearing corpus for the quality queries: the
+    documents text is single-line keyword prose, so bullet / ellipsis /
+    symbol signals would be vacuously zero on it (the round-5 lesson
+    from dedup_ngram_jaccard: a gate that checks nothing). Suffix by
+    doc_id % 5 plants every signal class; the oracle derives the same
+    corpus in SQL."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\n- bullet item\n- second bullet\nplain tail"))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.lit("\nthis line trails off..."))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.lit(" ### anomalous # symbols"))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.lit("\n• unicode bullet\nclosing thought…"))
+            .otherwise(F.lit(""))).alias("text"))
+
+
+_QUALITY_AUG_SQL = """
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN chr(10) || '- bullet item' || chr(10) ||
+                       '- second bullet' || chr(10) || 'plain tail'
+           WHEN 1 THEN chr(10) || 'this line trails off...'
+           WHEN 2 THEN ' ### anomalous # symbols'
+           WHEN 3 THEN chr(10) || '• unicode bullet' || chr(10) ||
+                       'closing thought…'
+           ELSE '' END AS text
+  FROM documents"""
+
+
+def q_text_quality_signals(spark, sf_dir):
+    """The full heuristic quality-filter signal set (C4/Gopher shape:
+    token/line counts, mean word + line length, stopword fraction,
+    symbol-to-word ratio, bullet / ellipsis line fractions) — one
+    map-only fixed-point projection over the signal-planted corpus."""
+    from racket_linkeddata_spark.operators.textstats import quality_signals
+
+    return quality_signals(_quality_aug(_docs(spark, sf_dir)))
+
+
+def _oracle_quality_signals_over(src: str) -> str:
+    """DuckDB replica of textstats.quality_signals over any
+    (doc_id, text) source table expression; the stopword list is
+    generated from textstats.STOPWORDS so the engines cannot drift.
+    Integer division (//) per the fixed-point oracle rule: the engine
+    computes 1000*a/b in float64 and truncates — exact for int results
+    < 2^53, i.e. floor, which // is."""
+    from racket_linkeddata_spark.operators.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\\s+'),
+                             w -> w != '') AS words,
+                 string_split(coalesce(text, ''), chr(10)) AS lines
+          FROM {src}),
+        counted AS (
+          SELECT doc_id, t, words, lines,
+                 len(words) AS nw, len(lines) AS nl,
+                 len(list_filter(words,
+                     w -> list_contains([{stop}], lower(w)))) AS nstop,
+                 (length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '...', ''))) // 3
+                 + (length(t) - length(replace(t, '…', ''))) AS nsym,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^\\s*[-*•]'))) AS nbul,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                   AS nell
+          FROM base)
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS n_tokens,
+               CAST(nl AS BIGINT) AS n_lines,
+               CAST(CASE WHEN nw > 0 THEN
+                 1000 * length(regexp_replace(t, '\\s', '', 'g')) // nw
+                 ELSE 0 END AS BIGINT) AS mean_word_len_x1000,
+               CAST(nstop AS BIGINT) AS n_stopwords,
+               CAST(CASE WHEN nw > 0 THEN 1000 * nstop // nw
+                 ELSE 0 END AS BIGINT) AS stopword_x1000,
+               CAST(CASE WHEN nw > 0 THEN 1000 * nsym // nw
+                 ELSE 0 END AS BIGINT) AS symbol_x1000,
+               CAST(CASE WHEN nl > 0 THEN 1000 * nbul // nl
+                 ELSE 0 END AS BIGINT) AS bullet_x1000,
+               CAST(CASE WHEN nl > 0 THEN 1000 * nell // nl
+                 ELSE 0 END AS BIGINT) AS ellipsis_x1000,
+               CAST(CASE WHEN nl > 0 THEN
+                 1000 * (length(t) - (nl - 1)) // nl
+                 ELSE 0 END AS BIGINT) AS mean_line_len_x1000
+        FROM counted"""
+
+
+def _oracle_quality_signals() -> str:
+    return _oracle_quality_signals_over(f"({_QUALITY_AUG_SQL}) aug_src")
+
+
 def q_ann_cosine_threshold(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import cosine
 
@@ -1247,8 +1349,11 @@ def q_training_data_prep(spark, sf_dir):
     2. near-dup dedup on survivors: minhash-LSH candidates -> exact
        Jaccard verify (>= 0.5) on candidate-only shingles -> connected
        components -> one keeper per cluster;
-    3. quality gate: >= 5 whitespace tokens and fixed-point mean word
-       length in [2, 20] (the C4-style length filters);
+    3. quality gate: the FULL textstats.quality_gate signal set
+       (token count, mean word length, stopword presence, symbol /
+       bullet / ellipsis ratios — C4 + Gopher shape), thresholds tuned
+       to this corpus's scale (>= 5 tokens, mean word length [2, 20],
+       >= 1 stopword);
     4. annotate what survives: language (trigram/script model) and BPE
        token price (the [(t,h),(th,e)] table with the closed-form
        oracle).
@@ -1260,7 +1365,7 @@ def q_training_data_prep(spark, sf_dir):
     from racket_linkeddata_spark.operators.graph import dedup_keepers
     from racket_linkeddata_spark.operators.langid import lang_id_model
     from racket_linkeddata_spark.operators.textstats import (
-        minhash_lsh_candidates, shingles)
+        minhash_lsh_candidates, quality_gate, shingles)
 
     d = _docs(spark, sf_dir)
     # stage 1: exact dedup — one map-side-combinable aggregate on the
@@ -1292,16 +1397,15 @@ def q_training_data_prep(spark, sf_dir):
     kept = (dedup_keepers(verified, surv.select("doc_id"))
             .filter("keep").select("doc_id"))
 
-    # stage 3: quality gate (fixed-point, exactly SQL-replicable).
-    # 1000 as LONG: an int multiply overflows (ANSI error / silent
-    # wrap) at ~2.1 MB of text — review r05b
-    words = F.split(F.col("text"), " ")
-    mwl = (F.lit(1000).cast("long")
-           * F.length(F.regexp_replace("text", " ", ""))
-           / F.size(words)).cast("bigint")
-    gated = (surv.join(kept, "doc_id")
-             .filter((F.size(words) >= 5) & mwl.between(2000, 20000))
-             .select("doc_id", "text"))
+    # stage 3: the composed quality gate (full signal set; fixed-point,
+    # exactly SQL-replicable — the per-signal arithmetic lives in
+    # textstats.quality_signals)
+    gated = quality_gate(
+        surv.join(kept, "doc_id").select("doc_id", "text"),
+        min_tokens=5, max_tokens=100_000,
+        min_mean_word_len_x1000=2000, max_mean_word_len_x1000=20_000,
+        min_stopwords=1, max_symbol_x1000=100,
+        max_bullet_x1000=900, max_ellipsis_x1000=300)
 
     # stage 4: annotate survivors — both map-only ops (pinning gated
     # measured no gain: its parents are already checkpointed)
@@ -1338,12 +1442,18 @@ def _oracle_training_data_prep() -> str:
           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
         keepers AS (SELECT id AS doc_id FROM walk
                     GROUP BY id HAVING min(r) = id),
+        qsig AS (SELECT * FROM (
+          {_oracle_quality_signals_over(
+              "(SELECT s.doc_id, s.text FROM surv s "
+              "JOIN keepers USING (doc_id)) gate_src")}) q),
         gated AS (
-          SELECT s.doc_id FROM surv s JOIN keepers USING (doc_id)
-          WHERE len(string_split(s.text, ' ')) >= 5
-            AND CAST(floor(1000.0 * length(replace(s.text, ' ', '')) /
-                     len(string_split(s.text, ' '))) AS BIGINT)
-                BETWEEN 2000 AND 20000),
+          SELECT doc_id FROM qsig
+          WHERE n_tokens BETWEEN 5 AND 100000
+            AND mean_word_len_x1000 BETWEEN 2000 AND 20000
+            AND n_stopwords >= 1
+            AND symbol_x1000 <= 100
+            AND bullet_x1000 <= 900
+            AND ellipsis_x1000 <= 300),
         lang AS (SELECT * FROM ({_oracle_langid_model()}) l),
         bpe AS ({_oracle_bpe_tokens('documents')})
         SELECT g.doc_id, l.lang, b.n_tokens
@@ -1398,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_model": q_text_langid_model,
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
+        "text_quality_signals": q_text_quality_signals,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "dedup_text_pipeline": q_dedup_text_pipeline,
@@ -1743,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_model": _oracle_langid_model(),
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),
+        "text_quality_signals": _oracle_quality_signals(),
         "text_repetition": """
             -- COALESCE pins NULL-text semantics to the engine's
             -- (None -> '' -> one empty token); a bare unnest would

@@ -506,3 +506,99 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return out.select("doc_id", red.alias("text_redacted"),
                       *[f"n_{name}" for name, _ in PII_PATTERNS])
+
+
+# the small closed-class list the stopword-fraction signal counts —
+# shared with the driver oracle (generated from this tuple) so the two
+# engines cannot drift. Gopher's rule is "contains >= 2 of a short stop
+# list"; the fraction generalizes it and the gate exposes both knobs.
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is",
+             "that", "it", "for", "on", "with", "as")
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The standard heuristic quality-filter signal set (C4 / Gopher
+    shape) as ONE map-only column-algebra projection — fixed-point
+    integers (x1000) throughout so cross-engine value hashing is exact:
+
+    - ``n_tokens`` / ``n_lines``: whitespace-class token count (empty
+      tokens dropped, so leading/trailing/repeated whitespace never
+      shifts counts) and newline-split line count;
+    - ``mean_word_len_x1000``: non-whitespace chars per token;
+    - ``stopword_x1000`` (+ raw ``n_stopwords``): fraction of tokens in
+      STOPWORDS, case-insensitive — prose has some, keyword spam none;
+    - ``symbol_x1000``: ('#' + '...' + U+2026) occurrences per token
+      (Gopher's symbol-to-word ratio);
+    - ``bullet_x1000`` / ``ellipsis_x1000``: fraction of lines starting
+      with a bullet ('-', '*', U+2022) / ending with an ellipsis;
+    - ``mean_line_len_x1000``: separator-less chars per line.
+
+    NULL text is treated as '' (the round-5 NULL-semantics rule: pinned
+    on BOTH sides, here and in the generated oracle). Ratios over an
+    empty token/line set are 0, not an ANSI division error."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    n_tokens = F.size(words)
+    n_lines = F.size(lines)
+    thousand = F.lit(1000).cast("long")  # int*1000 overflows at ~2.1MB
+
+    def per(num, den):
+        return (F.when(den > 0, (thousand * num / den))
+                .otherwise(0).cast("bigint"))
+
+    n_stop = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*STOPWORDS)))
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) +
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / F.lit(3).cast("long") +
+        (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    n_linechars = F.length(t) - (n_lines - F.lit(1))
+
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_lines.cast("bigint").alias("n_lines"),
+        per(F.length(F.regexp_replace(t, r"\s", "")), n_tokens)
+        .alias("mean_word_len_x1000"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        per(n_stop, n_tokens).alias("stopword_x1000"),
+        per(n_sym, n_tokens).alias("symbol_x1000"),
+        per(n_bullet, n_lines).alias("bullet_x1000"),
+        per(n_ellipsis, n_lines).alias("ellipsis_x1000"),
+        per(n_linechars, n_lines).alias("mean_line_len_x1000"),
+    )
+
+
+def quality_gate(docs: DataFrame, *, min_tokens: int = 50,
+                 max_tokens: int = 100_000,
+                 min_mean_word_len_x1000: int = 3000,
+                 max_mean_word_len_x1000: int = 10_000,
+                 min_stopwords: int = 2,
+                 max_symbol_x1000: int = 100,
+                 max_bullet_x1000: int = 900,
+                 max_ellipsis_x1000: int = 300,
+                 text_col: str = "text") -> DataFrame:
+    """The composed quality filter training_data_prep's stage 3 runs:
+    keep documents passing ALL signal thresholds (defaults are the
+    published Gopher rules; callers at other corpus shapes own the
+    knobs). Returns the input columns of survivors — a map-only filter
+    (signals join back on doc_id; both sides are projections of the
+    same scan, so Catalyst collapses it to one pass)."""
+    s = quality_signals(docs, text_col)
+    keep = s.filter(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len_x1000").between(
+            min_mean_word_len_x1000, max_mean_word_len_x1000)
+        & (F.col("n_stopwords") >= min_stopwords)
+        & (F.col("symbol_x1000") <= max_symbol_x1000)
+        & (F.col("bullet_x1000") <= max_bullet_x1000)
+        & (F.col("ellipsis_x1000") <= max_ellipsis_x1000)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id")
