@@ -935,10 +935,19 @@ def _oracle_quality_signals() -> str:
     return _oracle_quality_signals_over(f"({_QUALITY_AUG_SQL}) aug_src")
 
 
+# The three exact all-pairs baseline queries below are VERIFICATION
+# ANCHORS (the LSH/IVF scale paths are verified against them), not
+# 100 TB plans — their cost is quadratic in corpus size, so the driver
+# contract caps the ids they scan (round-5 verdict item 6): the gate
+# stays safe at ANY sf dir, and every oracle carries the same bound.
+_EXACT_BASELINE_MAX_IDS = 1000
+
+
 def q_ann_cosine_threshold(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import cosine
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(
+        F.col("vec_id") < _EXACT_BASELINE_MAX_IDS)
     q = F.broadcast(
         e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"),
@@ -1075,7 +1084,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import (
         embedding_cosine_pairs)
 
-    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return embedding_cosine_pairs(
+        _emb(spark, sf_dir).filter(
+            F.col("vec_id") < _EXACT_BASELINE_MAX_IDS),
+        threshold=0.4)
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -1103,7 +1115,8 @@ def q_dedup_clusters(spark, sf_dir):
     from racket_linkeddata_spark.operators.similarity import (
         embedding_cosine_pairs)
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).filter(
+        F.col("vec_id") < _EXACT_BASELINE_MAX_IDS)
     pairs = (embedding_cosine_pairs(e, threshold=0.4)
              .select(F.col("id_a").alias("doc_a"),
                      F.col("id_b").alias("doc_b")))
@@ -1668,9 +1681,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_guess,
                    greatest(en, de, fr, es) AS marker_hits
             FROM s""",
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings)
+                       FROM embeddings
+                       WHERE vec_id < {_EXACT_BASELINE_MAX_IDS})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_inner_product(a.v, b.v) /
                          (sqrt(list_inner_product(a.v, a.v)) *
@@ -1679,10 +1693,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_inner_product(a.v, b.v) /
                         (sqrt(list_inner_product(a.v, a.v)) *
                          sqrt(list_inner_product(b.v, b.v))), 4) >= 0.4""",
-        "dedup_clusters": """
+        "dedup_clusters": f"""
             WITH RECURSIVE e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings),
+              FROM embeddings
+              WHERE vec_id < {_EXACT_BASELINE_MAX_IDS}),
             pairs AS (
               SELECT a.vec_id AS src, b.vec_id AS dst
               FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1697,10 +1712,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT w.id, ed.dst FROM walk w JOIN edges ed ON ed.src = w.r)
             SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
             FROM walk GROUP BY id""",
-        "ann_cosine_threshold": """
+        "ann_cosine_threshold": f"""
             WITH e AS (SELECT vec_id,
                               CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings)
+                       FROM embeddings
+                       WHERE vec_id < {_EXACT_BASELINE_MAX_IDS})
             SELECT q.vec_id AS query_id, c.vec_id AS item_id,
                    round(list_inner_product(q.v, c.v) /
                          (sqrt(list_inner_product(q.v, q.v)) *
