@@ -202,6 +202,184 @@ SEED_CORPORA: Dict[str, str] = {
            "найкращий спосіб навчитися чогось нового — це пояснити це "
            "комусь іншому, і що запитання важать більше, ніж "
            "відповіді, які ми вже маємо."),
+    # round-6 additions (verdict item 7: langid breadth) — authored
+    # prose like the rest; 'no' is deliberately heavy on the spellings
+    # that separate Bokmål from Danish (å/enn/noen/uken/kjøpe/hage)
+    "no": ("Været var kaldere i dag tidlig enn vi hadde ventet, så vi "
+           "ble inne og leste avisen mens kaffen ble ferdig. Senere på "
+           "ettermiddagen gikk barna til biblioteket sammen med "
+           "vennene sine fordi de ville låne noen bøker om byens "
+           "historie og om menneskene som bodde der for mange år "
+           "siden. Det sies ofte at den beste måten å lære noe nytt "
+           "på, er å forklare det til noen andre, og at spørsmålene "
+           "betyr mer enn svarene vi tror vi allerede har."),
+    "id": ("Pagi ini udara lebih dingin daripada yang kami duga, jadi "
+           "kami tetap di dalam rumah dan membaca koran sambil "
+           "menunggu kopi selesai diseduh. Sore harinya anak-anak "
+           "berjalan kaki ke perpustakaan bersama teman-teman mereka "
+           "karena ingin meminjam beberapa buku tentang sejarah kota "
+           "dan orang-orang yang tinggal di sana bertahun-tahun yang "
+           "lalu. Orang sering berkata bahwa cara terbaik untuk "
+           "mempelajari sesuatu yang baru adalah menjelaskannya "
+           "kepada orang lain, dan bahwa pertanyaan lebih penting "
+           "daripada jawaban yang kita kira sudah kita miliki."),
+    "vi": ("Sáng nay trời lạnh hơn chúng tôi tưởng, nên cả nhà ở "
+           "trong nhà đọc báo trong khi chờ cà phê pha xong. Buổi "
+           "chiều bọn trẻ đi bộ đến thư viện cùng bạn bè vì muốn "
+           "mượn vài cuốn sách về lịch sử thành phố và những người "
+           "đã sống ở đó nhiều năm trước. Người ta thường nói rằng "
+           "cách tốt nhất để học một điều mới là giải thích nó cho "
+           "người khác, và những câu hỏi quan trọng hơn những câu "
+           "trả lời mà chúng ta nghĩ mình đã có."),
+}
+
+# Second authored passage per language (market / cooking register —
+# round-6 seed extension: two registers per language make the
+# function-word trigram profiles markedly less topic-sensitive).
+# build_profiles trains on SEED_CORPORA + this, concatenated.
+SEED_CORPORA_2: Dict[str, str] = {
+    "en": ("On Saturday we went to the market in the square to buy "
+           "vegetables, bread and cheese for the week. The woman at "
+           "the stall told us that the apples came from her own "
+           "garden, and she gave the children a small basket of plums "
+           "for free. In the evening we cooked a big pot of soup "
+           "together, and while it simmered on the stove we sat at "
+           "the kitchen table and played cards until it was time for "
+           "dinner."),
+    "de": ("Am Samstag gingen wir auf den Markt am Platz, um Gemüse, "
+           "Brot und Käse für die Woche zu kaufen. Die Frau am Stand "
+           "erzählte uns, dass die Äpfel aus ihrem eigenen Garten "
+           "stammen, und sie schenkte den Kindern einen kleinen Korb "
+           "Pflaumen. Am Abend kochten wir zusammen einen großen Topf "
+           "Suppe, und während sie auf dem Herd köchelte, saßen wir "
+           "am Küchentisch und spielten Karten, bis das Essen fertig "
+           "war."),
+    "fr": ("Le samedi, nous sommes allés au marché sur la place pour "
+           "acheter des légumes, du pain et du fromage pour la "
+           "semaine. La dame du stand nous a raconté que les pommes "
+           "venaient de son propre jardin, et elle a offert aux "
+           "enfants un petit panier de prunes. Le soir, nous avons "
+           "préparé ensemble une grande marmite de soupe, et pendant "
+           "qu'elle mijotait sur le feu, nous avons joué aux cartes à "
+           "la table de la cuisine en attendant le dîner."),
+    "es": ("El sábado fuimos al mercado de la plaza para comprar "
+           "verduras, pan y queso para la semana. La mujer del puesto "
+           "nos contó que las manzanas venían de su propio huerto, y "
+           "les regaló a los niños una pequeña cesta de ciruelas. Por "
+           "la noche preparamos juntos una gran olla de sopa, y "
+           "mientras hervía en el fuego nos sentamos a la mesa de la "
+           "cocina a jugar a las cartas hasta la hora de cenar."),
+    "it": ("Sabato siamo andati al mercato in piazza per comprare "
+           "verdura, pane e formaggio per la settimana. La signora "
+           "del banco ci ha raccontato che le mele venivano dal suo "
+           "giardino, e ha regalato ai bambini un piccolo cestino di "
+           "prugne. La sera abbiamo preparato insieme una grande "
+           "pentola di minestra, e mentre cuoceva sul fuoco ci siamo "
+           "seduti al tavolo della cucina a giocare a carte fino "
+           "all'ora di cena."),
+    "pt": ("No sábado fomos ao mercado da praça comprar legumes, pão "
+           "e queijo para a semana. A senhora da banca contou-nos que "
+           "as maçãs vinham do seu próprio quintal, e ofereceu às "
+           "crianças um pequeno cesto de ameixas. À noite preparámos "
+           "juntos uma grande panela de sopa, e enquanto ela cozinhava "
+           "no fogão sentámo-nos à mesa da cozinha a jogar às cartas "
+           "até à hora do jantar."),
+    "nl": ("Op zaterdag gingen we naar de markt op het plein om "
+           "groente, brood en kaas voor de week te kopen. De vrouw "
+           "bij de kraam vertelde ons dat de appels uit haar eigen "
+           "tuin kwamen, en ze gaf de kinderen een klein mandje "
+           "pruimen cadeau. 's Avonds kookten we samen een grote pan "
+           "soep, en terwijl die op het fornuis stond te pruttelen, "
+           "zaten we aan de keukentafel kaart te spelen tot het eten "
+           "klaar was."),
+    "sv": ("På lördagen gick vi till torget för att köpa grönsaker, "
+           "bröd och ost för veckan. Kvinnan vid ståndet berättade "
+           "att äpplena kom från hennes egen trädgård, och hon gav "
+           "barnen en liten korg med plommon. På kvällen lagade vi "
+           "tillsammans en stor gryta soppa, och medan den puttrade "
+           "på spisen satt vi vid köksbordet och spelade kort tills "
+           "maten var färdig."),
+    "da": ("Om lørdagen gik vi på torvet for at købe grøntsager, brød "
+           "og ost til ugen. Kvinden ved boden fortalte, at æblerne "
+           "kom fra hendes egen have, og hun gav børnene en lille "
+           "kurv med blommer. Om aftenen lavede vi sammen en stor "
+           "gryde suppe, og mens den simrede på komfuret, sad vi ved "
+           "køkkenbordet og spillede kort, indtil maden var færdig."),
+    "no": ("På lørdag dro vi til torget for å kjøpe grønnsaker, brød "
+           "og ost til hele uken. Kvinnen ved boden fortalte at "
+           "eplene kom fra hennes egen hage, og hun ga barna en liten "
+           "kurv med plommer. Om kvelden laget vi sammen en stor "
+           "gryte suppe, og mens den kokte på komfyren satt vi ved "
+           "kjøkkenbordet og spilte kort til maten var ferdig."),
+    "pl": ("W sobotę poszliśmy na targ na rynku, żeby kupić warzywa, "
+           "chleb i ser na cały tydzień. Kobieta przy straganie "
+           "opowiedziała nam, że jabłka pochodzą z jej własnego "
+           "ogrodu, i podarowała dzieciom mały koszyk śliwek. "
+           "Wieczorem ugotowaliśmy razem wielki garnek zupy, a kiedy "
+           "gotowała się na kuchence, siedzieliśmy przy kuchennym "
+           "stole i graliśmy w karty, aż jedzenie było gotowe."),
+    "cs": ("V sobotu jsme šli na trh na náměstí koupit zeleninu, "
+           "chléb a sýr na celý týden. Žena u stánku nám vyprávěla, "
+           "že jablka pocházejí z její vlastní zahrady, a dětem "
+           "darovala malý košík švestek. Večer jsme spolu uvařili "
+           "velký hrnec polévky, a zatímco se vařila na sporáku, "
+           "seděli jsme u kuchyňského stolu a hráli karty, dokud "
+           "nebylo jídlo hotové."),
+    "ro": ("Sâmbătă am mers la piața din centru să cumpărăm legume, "
+           "pâine și brânză pentru toată săptămâna. Femeia de la "
+           "tarabă ne-a povestit că merele veneau din grădina ei, și "
+           "le-a dăruit copiilor un coșuleț de prune. Seara am gătit "
+           "împreună o oală mare de supă, și în timp ce fierbea pe "
+           "aragaz am stat la masa din bucătărie și am jucat cărți "
+           "până când mâncarea a fost gata."),
+    "fi": ("Lauantaina menimme torille ostamaan vihanneksia, leipää "
+           "ja juustoa koko viikoksi. Nainen kojulla kertoi, että "
+           "omenat tulivat hänen omasta puutarhastaan, ja hän antoi "
+           "lapsille pienen korillisen luumuja. Illalla keitimme "
+           "yhdessä ison kattilan keittoa, ja sen kiehuessa liedellä "
+           "istuimme keittiön pöydän ääressä pelaamassa korttia, "
+           "kunnes ruoka oli valmista."),
+    "hu": ("Szombaton kimentünk a piacra a térre, hogy zöldséget, "
+           "kenyeret és sajtot vegyünk az egész hétre. A standnál az "
+           "asszony elmesélte, hogy az almák a saját kertjéből "
+           "származnak, és a gyerekeknek ajándékozott egy kis kosár "
+           "szilvát. Este együtt főztünk egy nagy fazék levest, és "
+           "amíg a tűzhelyen rotyogott, a konyhaasztalnál ültünk és "
+           "kártyáztunk, amíg el nem készült az étel."),
+    "tr": ("Cumartesi günü haftalık sebze, ekmek ve peynir almak için "
+           "meydandaki pazara gittik. Tezgahtaki kadın elmaların "
+           "kendi bahçesinden geldiğini anlattı ve çocuklara küçük "
+           "bir sepet erik hediye etti. Akşam birlikte büyük bir "
+           "tencere çorba pişirdik ve çorba ocakta kaynarken mutfak "
+           "masasında oturup yemek hazır olana kadar kağıt oynadık."),
+    "ru": ("В субботу мы пошли на рынок на площади, чтобы купить "
+           "овощи, хлеб и сыр на всю неделю. Женщина у прилавка "
+           "рассказала нам, что яблоки из её собственного сада, и "
+           "подарила детям маленькую корзинку слив. Вечером мы "
+           "вместе сварили большую кастрюлю супа, и пока он кипел на "
+           "плите, мы сидели за кухонным столом и играли в карты, "
+           "пока еда не была готова."),
+    "uk": ("У суботу ми пішли на ринок на площі, щоб купити овочі, "
+           "хліб і сир на цілий тиждень. Жінка біля прилавка "
+           "розповіла нам, що яблука з її власного саду, і "
+           "подарувала дітям маленький кошик слив. Увечері ми разом "
+           "зварили велику каструлю супу, і поки він кипів на плиті, "
+           "ми сиділи за кухонним столом і грали в карти, доки їжа "
+           "не була готова."),
+    "id": ("Pada hari Sabtu kami pergi ke pasar di alun-alun untuk "
+           "membeli sayur, roti, dan keju untuk seminggu. Ibu penjual "
+           "di kios bercerita bahwa apel itu berasal dari kebunnya "
+           "sendiri, dan ia memberikan sekeranjang kecil buah plum "
+           "kepada anak-anak. Malam harinya kami memasak sepanci "
+           "besar sup bersama-sama, dan sementara sup itu mendidih di "
+           "atas kompor, kami duduk di meja dapur bermain kartu "
+           "sampai makanan siap."),
+    "vi": ("Sáng thứ bảy chúng tôi ra chợ ở quảng trường để mua rau, "
+           "bánh mì và phô mai cho cả tuần. Bà bán hàng kể rằng táo "
+           "hái từ vườn nhà bà, và bà tặng bọn trẻ một giỏ mận nhỏ. "
+           "Buổi tối cả nhà cùng nấu một nồi canh lớn, và trong khi "
+           "nồi canh sôi trên bếp, chúng tôi ngồi ở bàn bếp chơi bài "
+           "cho đến khi thức ăn chín."),
 }
 
 # script tier: (lang, [(lo, hi), ...]) — checked in THIS order; a block
@@ -240,11 +418,16 @@ def _trigram_counts(norm: str) -> Counter:
 
 
 def build_profiles(
-        corpora: Dict[str, str] = SEED_CORPORA,
+        corpora: Dict[str, str] | None = None,
         profile_size: int = PROFILE_SIZE) -> Dict[str, Dict[str, int]]:
     """lang -> {trigram: integer rank weight}. Deterministic: trigrams
     ordered by (count desc, trigram asc); weight = profile_size - rank.
-    Integer weights keep scores exactly replicable in SQL."""
+    Integer weights keep scores exactly replicable in SQL. Default
+    training text per language is SEED_CORPORA + SEED_CORPORA_2
+    concatenated (two registers)."""
+    if corpora is None:
+        corpora = {lang: text + " " + SEED_CORPORA_2.get(lang, "")
+                   for lang, text in SEED_CORPORA.items()}
     profiles = {}
     for lang, text in corpora.items():
         counts = _trigram_counts(_normalize(text, sample_chars=10 ** 9))
