@@ -202,8 +202,8 @@ def _srp_planes_values(dim: int = 64, n: int = 64) -> str:
     decimal literal is DECIMAL-typed and its DOUBLE conversion can be
     one ulp off nearest-double parsing (caught by the pinned-kmeans
     roundtrip test; buckets here happened to survive the ulp)."""
-    from racket_linkeddata_spark.operators.ivf_pinned import f64_sql
     from racket_linkeddata_spark.operators.similarity import _hyperplanes
+    from racket_linkeddata_spark.operators.util import f64_sql
 
     rows = ", ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(f64_sql(x) for x in v))
@@ -615,7 +615,10 @@ def q_dedup_paragraphs(spark, sf_dir):
     aug = d.select(
         "doc_id",
         F.concat_ws(
-            "\n", F.col("text"),
+            # coalesce pins NULL text to '' (concat_ws would SKIP a
+            # null arg — one paragraph fewer than the oracle's
+            # coalesce-then-|| derivation)
+            "\n", F.coalesce(F.col("text"), F.lit("")),
             F.concat(F.lit("shared boilerplate passage variant "),
                      (F.col("doc_id") % 7).cast("string")),
             F.lit("all rights reserved footer")).alias("text"))
@@ -625,7 +628,8 @@ def q_dedup_paragraphs(spark, sf_dir):
 _ORACLE_DEDUP_PARAGRAPHS = r"""
 WITH aug AS (
   SELECT doc_id,
-         text || chr(10) || 'shared boilerplate passage variant '
+         coalesce(text, '') || chr(10)
+              || 'shared boilerplate passage variant '
               || (doc_id % 7)
               || chr(10) || 'all rights reserved footer' AS text
   FROM documents),

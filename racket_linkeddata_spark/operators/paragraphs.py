@@ -38,11 +38,25 @@ def _norm(col):
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def _split_sep(text, sep: str):
+    """Split on ``sep`` as a LITERAL separator. F.split takes a Java
+    regex; \\Q...\\E quoting keeps it in lockstep with the literal
+    array_join reassembly and the DuckDB string_split oracle (review
+    r06a: sep='||' used to explode every character). A sep containing
+    the closing quote '\\E' cannot be quoted this way — fail loudly."""
+    if "\\E" in sep:
+        raise ValueError(r"paragraph sep must not contain \E")
+    return F.split(text, "\\Q" + sep + "\\E")
+
+
 def _paragraphs(docs: DataFrame, text_col: str, id_col: str,
                 sep: str) -> DataFrame:
+    # NULL text is '' (the repo-wide NULL-text rule — review r06a:
+    # posexplode of a NULL array silently DROPS the document)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return (docs
             .select(id_col,
-                    F.posexplode(F.split(F.col(text_col), sep))
+                    F.posexplode(_split_sep(t, sep))
                     .alias("pos", "para"))
             .withColumn("pkey", F.md5(_norm(F.col("para")))))
 
@@ -88,15 +102,22 @@ def paragraph_dedup(docs: DataFrame, min_repeat: int = 10, *,
     """
     paras = _paragraphs(docs, text_col, id_col, sep)
 
+    # persist: the probe count and the anti-join both consume this
+    # aggregate — unpinned, the corpus-wide passage scan + (pkey, count)
+    # shuffle (the operator's dominant cost) would run TWICE (review
+    # r06a). The cached table is pkeys only, bounded above by N/K rows.
+    # Operator-local subtree (depends on this call's inputs), so the
+    # repo's cross-query CacheManager gotcha does not apply.
     hot = (paras
            .filter(F.length(_norm(F.col("para"))) >= min_len)
            .groupBy("pkey")
            .agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= min_repeat)
-           .select("pkey"))
+           .select("pkey")
+           .persist())
 
-    # hybrid: bounded probe (never a full count), broadcast the hot set
-    # when small — turns the anti-join map-side and kills hot-key skew
+    # hybrid: bounded probe, broadcast the hot set when small — turns
+    # the anti-join map-side and kills hot-key skew
     probe = hot.limit(broadcast_threshold + 1).count()
     if stats_out is not None:
         stats_out["hot_probe"] = probe
@@ -118,8 +139,8 @@ def paragraph_dedup(docs: DataFrame, min_repeat: int = 10, *,
 
     base = docs.select(
         id_col,
-        F.size(F.split(F.col(text_col), sep)).cast("bigint")
-        .alias("n_paragraphs"))
+        F.size(_split_sep(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .cast("bigint").alias("n_paragraphs"))
     return (base
             .join(kept, id_col, "left")
             .select(id_col,

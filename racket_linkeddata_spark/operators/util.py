@@ -11,6 +11,20 @@ _SIZE_MULT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
               "t": 1 << 40}
 
 
+def f64_sql(x: float) -> str:
+    """A float64 as a DuckDB literal that parses back BIT-EXACT — for
+    oracles that pin trained/derived float tables as VALUES literals
+    (SRP planes, k-means centroids). A bare decimal literal
+    (``0.025248210149055178``) is typed DECIMAL first and the
+    DECIMAL->DOUBLE conversion can be off by one ulp vs nearest-double
+    parsing; a literal with an exponent is typed DOUBLE and
+    strtod-parsed exactly. repr() already emits the shortest
+    round-trip form — append ``e0`` when it carries no exponent
+    ('n' covers inf/nan passthrough)."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r or "n" in r) else r + "e0"
+
+
 def _parse_bytes(s: str, default: int) -> int:
     m = _SIZE_RE.match(s.strip())
     if not m:

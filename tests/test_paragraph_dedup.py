@@ -79,3 +79,34 @@ def test_idempotent(spark):
     twice = paragraph_dedup(once, min_repeat=5).collect()
     for r in twice:
         assert r["n_dropped"] == 0, r
+
+
+def test_null_text_behaves_as_empty(spark):
+    """Review r06a: NULL text is '' (the repo-wide rule) — the doc
+    keeps its row as 1 blank paragraph instead of silently vanishing
+    from posexplode / getting NULL counts."""
+    d = spark.createDataFrame(
+        [(0, None), (1, "real line\nreal line")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(d, min_repeat=5).collect()}
+    assert out[0]["text_dedup"] == ""
+    assert out[0]["n_paragraphs"] == 1 and out[0]["n_dropped"] == 0
+    # and passage_counts sees the doc's content too
+    assert passage_counts(d, min_repeat=2).collect()[0]["n_docs"] == 1
+
+
+def test_sep_is_literal_not_regex(spark):
+    """Review r06a: sep must split as a LITERAL — '||' used to be a
+    Java regex matching the empty string, exploding every character."""
+    d = spark.createDataFrame(
+        [(0, "alpha||beta||alpha"), (1, "alpha||gamma")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(d, min_repeat=3, sep="||").collect()}
+    assert out[0]["n_paragraphs"] == 3
+    assert out[0]["text_dedup"] == "beta"     # 'alpha' x3 dropped
+    assert out[1]["text_dedup"] == "gamma"
+    import pytest
+    with pytest.raises(ValueError, match=r"\\E"):
+        paragraph_dedup(d, sep="a\\Eb").collect()
