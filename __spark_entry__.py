@@ -625,6 +625,49 @@ def q_dedup_paragraphs(spark, sf_dir):
     return paragraph_dedup(aug, min_repeat=5)
 
 
+def q_dedup_passage_stats(spark, sf_dir):
+    """Observability face of paragraph dedup ('no silent caps'): the
+    repeated-passage table an operator watches before choosing
+    min_repeat — per normalized passage, total occurrences and distinct
+    documents, over the same derived passage-bearing corpus as
+    dedup_paragraphs."""
+    from racket_linkeddata_spark.operators.paragraphs import passage_counts
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.coalesce(F.col("text"), F.lit("")),
+            F.concat(F.lit("shared boilerplate passage variant "),
+                     (F.col("doc_id") % 7).cast("string")),
+            F.lit("all rights reserved footer")).alias("text"))
+    return passage_counts(aug, min_repeat=2)
+
+
+_ORACLE_DEDUP_PASSAGE_STATS = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10)
+              || 'shared boilerplate passage variant '
+              || (doc_id % 7)
+              || chr(10) || 'all rights reserved footer' AS text
+  FROM documents),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+paras AS (
+  SELECT doc_id, unnest(p) AS para FROM sp),
+keyed AS (
+  SELECT doc_id, para,
+         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey,
+         length(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS nlen
+  FROM paras)
+SELECT pkey, min(para) AS passage,
+       count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM keyed WHERE nlen >= 1
+GROUP BY pkey HAVING count(*) >= 2
+"""
+
+
 _ORACLE_DEDUP_PARAGRAPHS = r"""
 WITH aug AS (
   SELECT doc_id,
@@ -1516,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_passage_stats": q_dedup_passage_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_fingerprint": q_text_fingerprint,
@@ -1618,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1""",
         "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
+        "dedup_passage_stats": _ORACLE_DEDUP_PASSAGE_STATS,
         "dedup_ngram_jaccard": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents WHERE doc_id < 30

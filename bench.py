@@ -123,6 +123,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "training_data_prep",
                  "dedup_url_canonical",
                  "dedup_ngram_jaccard", "dedup_paragraphs",
+                 "dedup_passage_stats",
                  "dedup_simhash", "dedup_embedding_lsh",
                  "text_fingerprint", "text_tokens",
                  "text_tokens_bpe_real",
