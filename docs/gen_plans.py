@@ -74,6 +74,19 @@ def main():
         ("BPE token pricing (bpe_token_count): map-only Arrow UDF, "
          "same shape",
          cap(em.q_text_tokens_bpe_real(spark, sf), 40)),
+        ("Paragraph dedup (paragraph_dedup): global passage counts are "
+         "a two-phase hash aggregate on pkey only (the shuffle carries "
+         "32-char hashes, never text), hot set rides a BROADCAST "
+         "left-anti join, one (doc_id) reassembly shuffle",
+         cap(__import__(
+             "racket_linkeddata_spark.operators.paragraphs",
+             fromlist=["paragraph_dedup"]).paragraph_dedup(
+                 spark.read.parquet(f"{sf}/documents.parquet")
+                 .select("doc_id", "text"), min_repeat=5), 80)),
+        ("Quality signals (quality_signals): pure JVM column algebra — "
+         "no Python stage, no join/aggregate; one projection over the "
+         "scan",
+         cap(em.q_text_quality_signals(spark, sf), 40)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "

@@ -162,3 +162,36 @@ def test_repetition_and_redact_plans(spark):
     p = _plan(em.q_text_redact_pii(spark, SF))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Exchange" not in p
+
+
+def test_quality_signals_pure_jvm_map_only(spark):
+    """quality_signals: pure JVM column algebra — no Python stage, no
+    join/aggregate/sort/generate; one projection over the scan."""
+    p = _plan(em.q_text_quality_signals(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    for node in ("Join", "HashAggregate", "Sort", "Window", "Generate"):
+        assert node not in p, (node, p[:500])
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """paragraph_dedup at 100 TB: the hot-passage set rides a BROADCAST
+    left-anti join (not a shuffle join) in the common small-hot-set
+    case, the global passage count is a two-phase hash aggregate on
+    pkey only (partial_count before the exchange — the shuffle carries
+    32-char hashes, never passage text), and there is no cartesian
+    product anywhere."""
+    from racket_linkeddata_spark.operators.paragraphs import (
+        paragraph_dedup)
+
+    d = em._docs(spark, SF).select("doc_id", "text")
+    stats = {}
+    df = paragraph_dedup(d, min_repeat=5, stats_out=stats)
+    p = _plan(df)
+    assert stats["hot_broadcast"]
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p[:800]
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    # the count-aggregate exchange partitions on pkey, not on text
+    agg_exchange = [seg for seg in p.split("Exchange")
+                    if seg.startswith(" hashpartitioning(pkey")]
+    assert agg_exchange, p[:800]
