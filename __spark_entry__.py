@@ -115,19 +115,20 @@ FROM documents
 # hashes folded to 31 bits -> 16 affine-rehash minima -> 4 bands of 4
 # rows -> candidate pairs within each band bucket (cap 512), distinct.
 _MERSENNE = (1 << 31) - 1
-def _oracle_shingles(table: str = "documents") -> str:
-    """3-gram shingle SELECT (doc_id, s) over ``table`` — the single
-    source of truth for shingle SQL across the minhash, text-pipeline,
-    and composed training-data-prep oracles (review r05b: three
-    copy-pasted variants could drift)."""
+def _oracle_shingles(table: str = "documents", n: int = 3) -> str:
+    """Word n-gram shingle SELECT (doc_id, s) over ``table`` — the
+    single source of truth for shingle SQL across the minhash,
+    text-pipeline, training-data-prep and decontamination oracles
+    (review r05b: copy-pasted variants could drift)."""
+    terms = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{k}]" if k else
+        "string_split(text, ' ')[i]" for k in range(n))
     return f"""
   SELECT doc_id,
-         CASE WHEN len(string_split(text, ' ')) >= 3
+         CASE WHEN len(string_split(text, ' ')) >= {n}
               THEN list_distinct(list_transform(
-                     range(1, len(string_split(text, ' ')) - 1),
-                     i -> string_split(text, ' ')[i] || ' ' ||
-                          string_split(text, ' ')[i+1] || ' ' ||
-                          string_split(text, ' ')[i+2]))
+                     range(1, len(string_split(text, ' ')) - {n - 2}),
+                     i -> {terms}))
               ELSE [] END AS s
   FROM {table}"""
 
@@ -982,6 +983,92 @@ def _oracle_quality_signals() -> str:
     return _oracle_quality_signals_over(f"({_QUALITY_AUG_SQL}) aug_src")
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C shape): per training
+    document, distinct word 8-grams, hits against a benchmark corpus'
+    gram set, and the collision verdict. Benchmark = docs 0-19's text
+    (so those docs and their exact/near duplicates in the corpus are
+    contaminated by construction — non-vacuous at every sf). 8-grams
+    instead of the production 13 because the corpus documents are ~50
+    words."""
+    from racket_linkeddata_spark.operators.decontam import (
+        contamination_stats)
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 20).select("text")
+    return contamination_stats(d, bench, n=8)
+
+
+_ORACLE_TEXT_DECONTAMINATE = f"""
+    WITH docg AS ({_oracle_shingles("documents", n=8)}),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM (
+        {_oracle_shingles(
+            "(SELECT * FROM documents WHERE doc_id < 20) bsrc", n=8)}) b),
+    expl AS (SELECT doc_id, unnest(s) AS g FROM docg),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM expl JOIN bench USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.s) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+    FROM docg d LEFT JOIN hits h USING (doc_id)"""
+
+
+# the driver mixture recipe: a spread of rates incl the keep-all and
+# drop-all edges; unlisted sources ride the default
+_MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5,
+                    "src3": 0.25, "src4": 0.1, "src5": 0.0}
+_MIXTURE_DEFAULT = 0.9
+
+
+def q_text_mixture_stats(spark, sf_dir):
+    """Deterministic training-mixture sampling, observability face:
+    per source, corpus count, sampled count under the recipe, realized
+    vs requested rate (fixed-point). The keep rule is an md5-prefix
+    threshold compare — the oracle is generated from the SAME
+    weight_threshold table, so the engines compare identical strings."""
+    from racket_linkeddata_spark.operators.mixture import mixture_stats
+
+    return mixture_stats(_docs(spark, sf_dir), _MIXTURE_WEIGHTS,
+                         default_weight=_MIXTURE_DEFAULT)
+
+
+def _oracle_mixture_stats() -> str:
+    from racket_linkeddata_spark.operators.mixture import weight_threshold
+
+    def cond(w):
+        thr = weight_threshold(w)
+        if thr is None:
+            return "TRUE"
+        return (f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'")
+
+    branches = " ".join(
+        f"WHEN '{src}' THEN {cond(w)}"
+        for src, w in sorted(_MIXTURE_WEIGHTS.items()))
+    keep = (f"CASE source {branches} "
+            f"ELSE {cond(_MIXTURE_DEFAULT)} END")
+    req = " ".join(
+        f"WHEN '{src}' THEN {int(1000 * w)}"
+        for src, w in sorted(_MIXTURE_WEIGHTS.items()))
+    return f"""
+        WITH kept AS (
+          SELECT source, count(*) AS n_sampled
+          FROM documents WHERE {keep} GROUP BY source),
+        base AS (
+          SELECT source, count(*) AS n_docs
+          FROM documents GROUP BY source)
+        SELECT b.source, b.n_docs,
+               CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+               CAST(1000 * coalesce(k.n_sampled, 0) // b.n_docs
+                    AS BIGINT) AS rate_x1000,
+               CAST(CASE source {req}
+                    ELSE {int(1000 * _MIXTURE_DEFAULT)} END
+                    AS BIGINT) AS requested_x1000
+        FROM base b LEFT JOIN kept k USING (source)"""
+
+
 # The three exact all-pairs baseline queries below are VERIFICATION
 # ANCHORS (the LSH/IVF scale paths are verified against them), not
 # 100 TB plans — their cost is quadratic in corpus size, so the driver
@@ -1570,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_quality_signals": q_text_quality_signals,
+        "text_decontaminate": q_text_decontaminate,
+        "text_mixture_stats": q_text_mixture_stats,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "dedup_text_pipeline": q_dedup_text_pipeline,
@@ -1920,6 +2009,8 @@ def oracle_sql() -> dict[str, str]:
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),
         "text_quality_signals": _oracle_quality_signals(),
+        "text_decontaminate": _ORACLE_TEXT_DECONTAMINATE,
+        "text_mixture_stats": _oracle_mixture_stats(),
         "text_repetition": """
             -- COALESCE pins NULL-text semantics to the engine's
             -- (None -> '' -> one empty token); a bare unnest would

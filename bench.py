@@ -130,6 +130,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_langid", "text_langid_model",
                  "text_repetition", "text_redact_pii",
                  "text_quality_signals",
+                 "text_decontaminate", "text_mixture_stats",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans",
                  "multimodal_frames", "tpch_q1", "tpch_join",

@@ -1,0 +1,97 @@
+"""Deterministic training-mixture sampling — per-source weighted
+subsampling of a corpus (the domain-mixing step of every pretraining
+data recipe: web 0.6, books 2 epochs, code 0.1, ...). Sampling must be
+DETERMINISTIC in the document id so reruns, resumes and audits see the
+same mix — no RNG state, no seed plumbing.
+
+No reference counterpart; LLM-pipeline brief.
+
+The keep decision is pure column algebra, map-only, exactly replicable
+in SQL: a document survives iff the first 8 hex chars of
+md5(CAST(id AS VARCHAR)) compare lexicographically below the source's
+threshold string. Lowercase-hex comparison is monotone with the 32-bit
+value, so the threshold format(int(w * 16^8), '08x') keeps each source
+at rate w with md5-uniform selection — and BOTH engines compare the
+same strings, so there is nothing to drift (the repo's
+generate-the-oracle-from-the-same-table rule).
+
+100 TB shape: a WHEN-chain over the (small, recipe-sized) weight dict —
+no join, no shuffle, whole-stage codegen; composes with any downstream
+operator. Subsampling only (w <= 1); epoch up-sampling (w > 1) is a
+different op (explode on ceil(w) with a fractional last epoch) and is
+rejected loudly rather than silently capped.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+_SPACE = 16 ** 8  # 8 hex chars
+
+
+def weight_threshold(w: float) -> Optional[str]:
+    """The 8-char lowercase-hex threshold for rate ``w`` (None = keep
+    everything). Shared by the Spark operator and the SQL oracle
+    generator so the two engines compare identical strings."""
+    if w < 0 or w > 1:
+        raise ValueError(f"mixture weight must be in [0, 1], got {w}")
+    if w >= 1:
+        return None
+    return format(int(w * _SPACE), "08x")
+
+
+def _key(id_col: str):
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+
+
+def mixture_sample(docs: DataFrame, weights: Dict[str, float], *,
+                   default_weight: float = 1.0,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep each document with its source's rate, deterministically in
+    ``id_col``. Sources absent from ``weights`` use
+    ``default_weight``. Returns the input columns of survivors."""
+    thresholds = {src: weight_threshold(w)
+                  for src, w in sorted(weights.items())}
+    default_thr = weight_threshold(default_weight)
+
+    def gate(thr: Optional[str]):
+        return F.lit(True) if thr is None else _key(id_col) < F.lit(thr)
+
+    keep = gate(default_thr)
+    for src, thr in thresholds.items():
+        keep = F.when(F.col(source_col) == src, gate(thr)).otherwise(keep)
+    return docs.filter(keep)
+
+
+def mixture_stats(docs: DataFrame, weights: Dict[str, float], *,
+                  default_weight: float = 1.0,
+                  source_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Observability face: per source, corpus count, sampled count and
+    the realized rate x1000 (fixed-point) next to the requested rate
+    x1000 — the drift an operator watches (md5-uniformity error shrinks
+    as 1/sqrt(n))."""
+    req = {src: int(1000 * w) for src, w in weights.items()}
+    sampled = (mixture_sample(docs, weights,
+                              default_weight=default_weight,
+                              source_col=source_col, id_col=id_col)
+               .groupBy(source_col)
+               .agg(F.count(F.lit(1)).alias("n_sampled")))
+    req_col = F.lit(int(1000 * default_weight))
+    for src, r in sorted(req.items()):
+        req_col = F.when(F.col(source_col) == src, F.lit(r)) \
+            .otherwise(req_col)
+    return (docs.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(sampled, source_col, "left")
+            .select(source_col, "n_docs",
+                    F.coalesce("n_sampled", F.lit(0)).cast("bigint")
+                    .alias("n_sampled"),
+                    (F.lit(1000).cast("long")
+                     * F.coalesce("n_sampled", F.lit(0))
+                     / F.col("n_docs")).cast("bigint")
+                    .alias("rate_x1000"),
+                    req_col.cast("bigint").alias("requested_x1000")))

@@ -1,0 +1,101 @@
+"""Benchmark decontamination + deterministic mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from racket_linkeddata_spark.operators.decontam import (
+    contamination_stats, decontaminate)
+from racket_linkeddata_spark.operators.mixture import (
+    mixture_sample, mixture_stats, weight_threshold)
+
+
+def _training(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # clean
+        (1, "the quick brown fox jumps over the dog"),   # contains bench
+        (2, "prefix words the quick brown fox jumps over the dog and "
+            "more trailing words"),                      # embedded bench
+        (3, "quick brown fox"),                          # shorter than n
+        (4, "the quick brown fox leaps over the dog"),   # one word off
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [("the quick brown fox jumps over the dog",)], "text string")
+
+
+def test_contamination_stats(spark):
+    out = {r["doc_id"]: r for r in contamination_stats(
+        _training(spark), _bench(spark), n=5).collect()}
+    assert not out[0]["is_contaminated"] and out[0]["n_hits"] == 0
+    # doc 1 == the benchmark: every one of its 5-grams hits
+    assert out[1]["is_contaminated"]
+    assert out[1]["n_hits"] == out[1]["n_grams"] == 4
+    # embedded span still collides
+    assert out[2]["is_contaminated"] and out[2]["n_hits"] == 4
+    # shorter than n: zero grams, never contaminated
+    assert out[3]["n_grams"] == 0 and not out[3]["is_contaminated"]
+    # a substitution in the MIDDLE of an 8-token doc breaks every
+    # 5-gram (each spans the changed word): clean — n-gram collision
+    # flags verbatim spans, not near-duplicates (that's minhash's job)
+    assert out[4]["n_hits"] == 0 and not out[4]["is_contaminated"]
+
+
+def test_decontaminate_filters(spark):
+    kept = {r["doc_id"] for r in decontaminate(
+        _training(spark), _bench(spark), n=5).collect()}
+    assert kept == {0, 3, 4}
+    # columns preserved
+    assert set(decontaminate(_training(spark), _bench(spark),
+                             n=5).columns) == {"doc_id", "text"}
+
+
+def test_weight_threshold_edges():
+    assert weight_threshold(1.0) is None
+    assert weight_threshold(0.0) == "00000000"
+    assert weight_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        weight_threshold(1.5)
+    with pytest.raises(ValueError):
+        weight_threshold(-0.1)
+
+
+def _corpus(spark, n=400):
+    rows = [(i, f"s{i % 4}", f"text {i}") for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_mixture_sample_deterministic_and_rates(spark):
+    d = _corpus(spark)
+    w = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    a = sorted(r["doc_id"] for r in
+               mixture_sample(d, w, default_weight=0.25).collect())
+    b = sorted(r["doc_id"] for r in
+               mixture_sample(d, w, default_weight=0.25).collect())
+    assert a == b  # deterministic: no RNG anywhere
+    rows = {r["source"]: r for r in
+            mixture_stats(d, w, default_weight=0.25).collect()}
+    assert rows["s0"]["n_sampled"] == rows["s0"]["n_docs"] == 100
+    assert rows["s2"]["n_sampled"] == 0
+    # md5-uniform: realized rate within ~15pp of requested at n=100
+    assert abs(rows["s1"]["rate_x1000"] - 500) < 150
+    assert abs(rows["s3"]["rate_x1000"] - 250) < 150
+    assert rows["s1"]["requested_x1000"] == 500
+    assert rows["s3"]["requested_x1000"] == 250  # default
+
+
+def test_mixture_sample_is_subset_stable_under_recipe_change(spark):
+    """Raising a source's weight only ADDS documents (threshold compare
+    is monotone) — the property that makes mix re-balancing reproducible
+    without reshuffling previously selected data."""
+    d = _corpus(spark)
+    small = {r["doc_id"] for r in
+             mixture_sample(d, {"s1": 0.3}, default_weight=1.0)
+             .filter(F.col("source") == "s1").collect()}
+    big = {r["doc_id"] for r in
+           mixture_sample(d, {"s1": 0.7}, default_weight=1.0)
+           .filter(F.col("source") == "s1").collect()}
+    assert small <= big and len(small) < len(big)
