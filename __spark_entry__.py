@@ -1035,7 +1035,9 @@ def q_text_mixture_stats(spark, sf_dir):
                          default_weight=_MIXTURE_DEFAULT)
 
 
-def _oracle_mixture_stats() -> str:
+def _mixture_keep_sql(weights, default_weight) -> str:
+    """The mixture keep predicate as SQL, generated from the SAME
+    weight_threshold table the Spark operator uses."""
     from racket_linkeddata_spark.operators.mixture import weight_threshold
 
     def cond(w):
@@ -1046,9 +1048,12 @@ def _oracle_mixture_stats() -> str:
 
     branches = " ".join(
         f"WHEN '{src}' THEN {cond(w)}"
-        for src, w in sorted(_MIXTURE_WEIGHTS.items()))
-    keep = (f"CASE source {branches} "
-            f"ELSE {cond(_MIXTURE_DEFAULT)} END")
+        for src, w in sorted(weights.items()))
+    return f"CASE source {branches} ELSE {cond(default_weight)} END"
+
+
+def _oracle_mixture_stats() -> str:
+    keep = _mixture_keep_sql(_MIXTURE_WEIGHTS, _MIXTURE_DEFAULT)
     req = " ".join(
         f"WHEN '{src}' THEN {int(1000 * w)}"
         for src, w in sorted(_MIXTURE_WEIGHTS.items()))
@@ -1487,6 +1492,11 @@ def q_text_tokens_bpe(spark, sf_dir):
         .cast("bigint").alias("n_bpe_tokens"))
 
 
+# training_data_prep's mixture recipe: one mid-rate source, one heavy
+# subsample, one drop-all edge; everything else rides default 1.0
+_PREP_MIXTURE = {"src2": 0.5, "src7": 0.25, "src11": 0.0}
+
+
 def q_training_data_prep(spark, sf_dir):
     """The END-TO-END training-data prep pipeline — what a 100 TB crawl
     actually runs before pretraining, composed from the scale-shaped
@@ -1501,7 +1511,11 @@ def q_training_data_prep(spark, sf_dir):
        bullet / ellipsis ratios — C4 + Gopher shape), thresholds tuned
        to this corpus's scale (>= 5 tokens, mean word length [2, 20],
        >= 1 stopword);
-    4. annotate what survives: language (trigram/script model) and BPE
+    4. benchmark decontamination: drop survivors sharing any word
+       8-gram with the benchmark corpus (docs 0-19);
+    5. mixture sampling: deterministic md5-threshold subsampling per
+       source (the _PREP_MIXTURE recipe);
+    6. annotate what survives: language (trigram/script model) and BPE
        token price (the [(t,h),(th,e)] table with the closed-form
        oracle).
 
@@ -1510,7 +1524,9 @@ def q_training_data_prep(spark, sf_dir):
     per-operator replicas, value-hash exact."""
     from racket_linkeddata_spark.operators.bpe import bpe_token_count
     from racket_linkeddata_spark.operators.graph import dedup_keepers
+    from racket_linkeddata_spark.operators.decontam import decontaminate
     from racket_linkeddata_spark.operators.langid import lang_id_model
+    from racket_linkeddata_spark.operators.mixture import mixture_sample
     from racket_linkeddata_spark.operators.textstats import (
         minhash_lsh_candidates, quality_gate, shingles)
 
@@ -1548,23 +1564,34 @@ def q_training_data_prep(spark, sf_dir):
     # exactly SQL-replicable — the per-signal arithmetic lives in
     # textstats.quality_signals)
     gated = quality_gate(
-        surv.join(kept, "doc_id").select("doc_id", "text"),
+        surv.join(kept, "doc_id").select("doc_id", "text", "source"),
         min_tokens=5, max_tokens=100_000,
         min_mean_word_len_x1000=2000, max_mean_word_len_x1000=20_000,
         min_stopwords=1, max_symbol_x1000=100,
         max_bullet_x1000=900, max_ellipsis_x1000=300)
 
-    # stage 4: annotate survivors — both map-only ops (pinning gated
+    # stage 4: benchmark decontamination (broadcast gram probe — the
+    # same planted benchmark as text_decontaminate)
+    bench = d.filter(F.col("doc_id") < 20).select("text")
+    clean = decontaminate(gated, bench, n=8)
+
+    # stage 5: deterministic mixture sampling (md5-threshold compare —
+    # same recipe machinery as text_mixture_stats)
+    mixed = mixture_sample(clean, _PREP_MIXTURE, default_weight=1.0)
+
+    # stage 6: annotate survivors — both map-only ops (pinning gated
     # measured no gain: its parents are already checkpointed)
-    lang = lang_id_model(gated).select("doc_id", "lang")
-    bpe = bpe_token_count(gated, [("t", "h"), ("th", "e")])
-    return gated.select("doc_id").join(lang, "doc_id").join(bpe, "doc_id")
+    lang = lang_id_model(mixed).select("doc_id", "lang")
+    bpe = bpe_token_count(mixed, [("t", "h"), ("th", "e")])
+    return mixed.select("doc_id").join(lang, "doc_id").join(bpe, "doc_id")
 
 
 def _oracle_training_data_prep() -> str:
     """Composed DuckDB replica: per-operator replicas stitched into one
     WITH RECURSIVE chain (exact dedup -> scoped minhash/verify/CC ->
-    quality gate -> langid + BPE annotation)."""
+    quality gate -> benchmark decontamination -> mixture sampling ->
+    langid + BPE annotation)."""
+    keep_mix = _mixture_keep_sql(_PREP_MIXTURE, 1.0)
     return f"""
         WITH RECURSIVE
         keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
@@ -1601,10 +1628,25 @@ def _oracle_training_data_prep() -> str:
             AND symbol_x1000 <= 100
             AND bullet_x1000 <= 900
             AND ellipsis_x1000 <= 300),
+        gsurv AS (SELECT s.doc_id, s.text, s.source
+                  FROM surv s JOIN gated USING (doc_id)),
+        benchg AS (
+          SELECT DISTINCT unnest(s) AS g FROM (
+            {_oracle_shingles(
+                "(SELECT * FROM documents WHERE doc_id < 20) bsrc",
+                n=8)}) b),
+        gsh AS ({_oracle_shingles('gsurv', n=8)}),
+        contam AS (
+          SELECT DISTINCT e.doc_id
+          FROM (SELECT doc_id, unnest(s) AS g FROM gsh) e
+          JOIN benchg USING (g)),
+        clean AS (SELECT g.* FROM gsurv g
+                  ANTI JOIN contam USING (doc_id)),
+        mixed AS (SELECT doc_id FROM clean WHERE {keep_mix}),
         lang AS (SELECT * FROM ({_oracle_langid_model()}) l),
         bpe AS ({_oracle_bpe_tokens('documents')})
-        SELECT g.doc_id, l.lang, b.n_tokens
-        FROM gated g JOIN lang l USING (doc_id) JOIN bpe b USING (doc_id)"""
+        SELECT m.doc_id, l.lang, b.n_tokens
+        FROM mixed m JOIN lang l USING (doc_id) JOIN bpe b USING (doc_id)"""
 
 
 def q_text_tokens_bpe_real(spark, sf_dir):
