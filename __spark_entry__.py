@@ -600,20 +600,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(corpus, n=3, threshold=0.3, max_docs=60)
 
 
-def q_dedup_paragraphs(spark, sf_dir):
-    """Paragraph-level exact dedup (Lee et al. passage dedup — the
-    within-document repeated-passage mode document-level dedup cannot
-    express). The corpus text is single-line, so the query derives a
-    passage-bearing corpus deterministically from `documents`: each doc
-    becomes 3 paragraphs — its own (unique) text, one of 7 shared
-    boilerplate variants keyed by doc_id % 7, and a universal footer.
-    paragraph_dedup(min_repeat=5) must drop both planted passages at
-    every sf (>= 7 occurrences each at sf0.001) and return the original
-    text byte-exact."""
-    from racket_linkeddata_spark.operators.paragraphs import paragraph_dedup
-
-    d = _docs(spark, sf_dir)
-    aug = d.select(
+def _passage_corpus(d):
+    """The derived passage-bearing corpus both paragraph-dedup queries
+    run on (the documents text is single-line): each doc becomes 3
+    paragraphs — its own (unique) text, one of 7 shared boilerplate
+    variants keyed by doc_id % 7, and a universal footer. Single
+    source of truth for the Spark side; _oracle_passage_keyed is its
+    SQL twin."""
+    return d.select(
         "doc_id",
         F.concat_ws(
             # coalesce pins NULL text to '' (concat_ws would SKIP a
@@ -623,7 +617,19 @@ def q_dedup_paragraphs(spark, sf_dir):
             F.concat(F.lit("shared boilerplate passage variant "),
                      (F.col("doc_id") % 7).cast("string")),
             F.lit("all rights reserved footer")).alias("text"))
-    return paragraph_dedup(aug, min_repeat=5)
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (Lee et al. passage dedup — the
+    within-document repeated-passage mode document-level dedup cannot
+    express), over the derived passage-bearing corpus (_passage_corpus).
+    paragraph_dedup(min_repeat=5) must drop both planted passages at
+    every sf (>= 7 occurrences each at sf0.001) and return the original
+    text byte-exact."""
+    from racket_linkeddata_spark.operators.paragraphs import paragraph_dedup
+
+    return paragraph_dedup(_passage_corpus(_docs(spark, sf_dir)),
+                           min_repeat=5)
 
 
 def q_dedup_passage_stats(spark, sf_dir):
@@ -634,43 +640,18 @@ def q_dedup_passage_stats(spark, sf_dir):
     dedup_paragraphs."""
     from racket_linkeddata_spark.operators.paragraphs import passage_counts
 
-    d = _docs(spark, sf_dir)
-    aug = d.select(
-        "doc_id",
-        F.concat_ws(
-            "\n", F.coalesce(F.col("text"), F.lit("")),
-            F.concat(F.lit("shared boilerplate passage variant "),
-                     (F.col("doc_id") % 7).cast("string")),
-            F.lit("all rights reserved footer")).alias("text"))
-    return passage_counts(aug, min_repeat=2)
+    return passage_counts(_passage_corpus(_docs(spark, sf_dir)),
+                          min_repeat=2)
 
 
-_ORACLE_DEDUP_PASSAGE_STATS = r"""
-WITH aug AS (
-  SELECT doc_id,
-         coalesce(text, '') || chr(10)
-              || 'shared boilerplate passage variant '
-              || (doc_id % 7)
-              || chr(10) || 'all rights reserved footer' AS text
-  FROM documents),
-sp AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
-paras AS (
-  SELECT doc_id, unnest(p) AS para FROM sp),
-keyed AS (
-  SELECT doc_id, para,
-         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey,
-         length(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS nlen
-  FROM paras)
-SELECT pkey, min(para) AS passage,
-       count(*) AS n_occurrences,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM keyed WHERE nlen >= 1
-GROUP BY pkey HAVING count(*) >= 2
-"""
-
-
-_ORACLE_DEDUP_PARAGRAPHS = r"""
-WITH aug AS (
+def _oracle_passage_keyed() -> str:
+    """Shared CTE prefix (aug -> sp -> paras -> keyed) of the two
+    paragraph-dedup oracles: the derived passage-bearing corpus, split
+    to positioned paragraphs, each carrying the normalized-passage key.
+    One copy so the normalization / corpus derivation cannot drift
+    between the dedup and stats oracles (review r06b — same drift
+    class _oracle_shingles was factored for)."""
+    return r"""aug AS (
   SELECT doc_id,
          coalesce(text, '') || chr(10)
               || 'shared boilerplate passage variant '
@@ -687,7 +668,21 @@ keyed AS (
   SELECT doc_id, pos, para,
          md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey,
          length(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS nlen
-  FROM paras),
+  FROM paras)"""
+
+
+_ORACLE_DEDUP_PASSAGE_STATS = f"""
+WITH {_oracle_passage_keyed()}
+SELECT pkey, min(para) AS passage,
+       count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM keyed WHERE nlen >= 1
+GROUP BY pkey HAVING count(*) >= 2
+"""
+
+
+_ORACLE_DEDUP_PARAGRAPHS = f"""
+WITH {_oracle_passage_keyed()},
 hot AS (
   SELECT pkey FROM keyed WHERE nlen >= 1
   GROUP BY pkey HAVING count(*) >= 5),
@@ -1053,25 +1048,23 @@ def _mixture_keep_sql(weights, default_weight) -> str:
 
 
 def _oracle_mixture_stats() -> str:
+    # single grouped pass, keep as a conditional sum — the same shape
+    # as mixture_stats (a sampled-side LEFT JOIN was null-unsafe on a
+    # NULL source group; review r06b)
     keep = _mixture_keep_sql(_MIXTURE_WEIGHTS, _MIXTURE_DEFAULT)
     req = " ".join(
         f"WHEN '{src}' THEN {int(1000 * w)}"
         for src, w in sorted(_MIXTURE_WEIGHTS.items()))
     return f"""
-        WITH kept AS (
-          SELECT source, count(*) AS n_sampled
-          FROM documents WHERE {keep} GROUP BY source),
-        base AS (
-          SELECT source, count(*) AS n_docs
-          FROM documents GROUP BY source)
-        SELECT b.source, b.n_docs,
-               CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
-               CAST(1000 * coalesce(k.n_sampled, 0) // b.n_docs
-                    AS BIGINT) AS rate_x1000,
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sampled,
+               CAST(1000 * sum(CASE WHEN {keep} THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS rate_x1000,
                CAST(CASE source {req}
                     ELSE {int(1000 * _MIXTURE_DEFAULT)} END
                     AS BIGINT) AS requested_x1000
-        FROM base b LEFT JOIN kept k USING (source)"""
+        FROM documents GROUP BY source"""
 
 
 # The three exact all-pairs baseline queries below are VERIFICATION
@@ -1563,12 +1556,16 @@ def q_training_data_prep(spark, sf_dir):
     # stage 3: the composed quality gate (full signal set; fixed-point,
     # exactly SQL-replicable — the per-signal arithmetic lives in
     # textstats.quality_signals)
+    # pinned: consumed twice by decontaminate (gram explode + the
+    # survivor anti-join) — without the pin the whole quality-signal
+    # tree re-evaluates per branch (review r06b)
     gated = quality_gate(
         surv.join(kept, "doc_id").select("doc_id", "text", "source"),
         min_tokens=5, max_tokens=100_000,
         min_mean_word_len_x1000=2000, max_mean_word_len_x1000=20_000,
         min_stopwords=1, max_symbol_x1000=100,
-        max_bullet_x1000=900, max_ellipsis_x1000=300)
+        max_bullet_x1000=900, max_ellipsis_x1000=300) \
+        .localCheckpoint(eager=False)
 
     # stage 4: benchmark decontamination (broadcast gram probe — the
     # same planted benchmark as text_decontaminate)
@@ -1576,11 +1573,12 @@ def q_training_data_prep(spark, sf_dir):
     clean = decontaminate(gated, bench, n=8)
 
     # stage 5: deterministic mixture sampling (md5-threshold compare —
-    # same recipe machinery as text_mixture_stats)
-    mixed = mixture_sample(clean, _PREP_MIXTURE, default_weight=1.0)
+    # same recipe machinery as text_mixture_stats); pinned: stage 6
+    # fans it out to three branches
+    mixed = mixture_sample(clean, _PREP_MIXTURE, default_weight=1.0) \
+        .localCheckpoint(eager=False)
 
-    # stage 6: annotate survivors — both map-only ops (pinning gated
-    # measured no gain: its parents are already checkpointed)
+    # stage 6: annotate survivors — both map-only ops
     lang = lang_id_model(mixed).select("doc_id", "lang")
     bpe = bpe_token_count(mixed, [("t", "h"), ("th", "e")])
     return mixed.select("doc_id").join(lang, "doc_id").join(bpe, "doc_id")

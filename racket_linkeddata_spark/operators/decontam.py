@@ -37,7 +37,12 @@ def contamination_stats(docs: DataFrame, benchmark: DataFrame,
 
     ``benchmark`` only needs ``text_col``; it is reduced to its
     distinct n-gram set and broadcast — callers with a multi-GB
-    "benchmark" should pre-shard it instead."""
+    "benchmark" should pre-shard it instead.
+
+    ``docs`` is referenced by two branches (the gram explode and the
+    per-doc gram-count base) — pass a pinned/cheap lineage, or the
+    upstream plan evaluates twice (the repo's self-join-over-expensive-
+    trees gotcha)."""
     bench_grams = (benchmark
                    .select(F.explode(shingles(benchmark, n, text_col))
                            .alias("g"))
@@ -67,9 +72,25 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """The filter face: training docs with NO benchmark collision
-    (``n_hits < min_hits``). Returns the input columns of survivors."""
-    clean = (contamination_stats(docs, benchmark, n, min_hits=min_hits,
-                                 text_col=text_col, id_col=id_col)
-             .filter(~F.col("is_contaminated"))
-             .select(id_col))
-    return docs.join(clean, id_col)
+    (``n_hits < min_hits``). Returns the input columns of survivors.
+
+    Anti-joins on the CONTAMINATED id set rather than inner-joining on
+    the clean set (review r06b): a NULL-``id_col`` row can never be
+    attributed a hit (contamination_stats' id-keyed left join reports
+    it n_hits=0), so an inner join that silently dropped it diverged
+    from the stats face and from the SQL ``ANTI JOIN`` replica. This
+    also skips the per-doc gram-count branch entirely — the
+    contaminated set needs only the (tiny) hit aggregate."""
+    bench_grams = (benchmark
+                   .select(F.explode(shingles(benchmark, n, text_col))
+                           .alias("g"))
+                   .distinct())
+    contam = (docs.select(F.col(id_col),
+                          F.explode(shingles(docs, n, text_col))
+                          .alias("g"))
+              .join(F.broadcast(bench_grams), "g")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_hits"))
+              .filter(F.col("n_hits") >= min_hits)
+              .select(id_col))
+    return docs.join(contam, id_col, "left_anti")

@@ -46,13 +46,11 @@ def _key(id_col: str):
     return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
 
 
-def mixture_sample(docs: DataFrame, weights: Dict[str, float], *,
-                   default_weight: float = 1.0,
-                   source_col: str = "source",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Keep each document with its source's rate, deterministically in
-    ``id_col``. Sources absent from ``weights`` use
-    ``default_weight``. Returns the input columns of survivors."""
+def _keep_predicate(weights: Dict[str, float], default_weight: float,
+                    source_col: str, id_col: str):
+    """The shared keep column: a WHEN chain over the recipe. A NULL
+    source never equals any recipe key, so it falls through to the
+    default gate — the same convention in every face of the op."""
     thresholds = {src: weight_threshold(w)
                   for src, w in sorted(weights.items())}
     default_thr = weight_threshold(default_weight)
@@ -63,7 +61,18 @@ def mixture_sample(docs: DataFrame, weights: Dict[str, float], *,
     keep = gate(default_thr)
     for src, thr in thresholds.items():
         keep = F.when(F.col(source_col) == src, gate(thr)).otherwise(keep)
-    return docs.filter(keep)
+    return keep
+
+
+def mixture_sample(docs: DataFrame, weights: Dict[str, float], *,
+                   default_weight: float = 1.0,
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep each document with its source's rate, deterministically in
+    ``id_col``. Sources absent from ``weights`` use
+    ``default_weight``. Returns the input columns of survivors."""
+    return docs.filter(_keep_predicate(weights, default_weight,
+                                       source_col, id_col))
 
 
 def mixture_stats(docs: DataFrame, weights: Dict[str, float], *,
@@ -73,25 +82,25 @@ def mixture_stats(docs: DataFrame, weights: Dict[str, float], *,
     """Observability face: per source, corpus count, sampled count and
     the realized rate x1000 (fixed-point) next to the requested rate
     x1000 — the drift an operator watches (md5-uniformity error shrinks
-    as 1/sqrt(n))."""
+    as 1/sqrt(n)).
+
+    ONE pass: the keep decision is a conditional sum inside the same
+    grouped aggregate as the corpus count (a separate sampled-side
+    aggregate left-joined back on source was both a second scan and a
+    null-unsafe join — a NULL source group reported n_sampled=0 even
+    when its docs survived under the default rate; review r06b)."""
     req = {src: int(1000 * w) for src, w in weights.items()}
-    sampled = (mixture_sample(docs, weights,
-                              default_weight=default_weight,
-                              source_col=source_col, id_col=id_col)
-               .groupBy(source_col)
-               .agg(F.count(F.lit(1)).alias("n_sampled")))
+    keep = _keep_predicate(weights, default_weight, source_col, id_col)
     req_col = F.lit(int(1000 * default_weight))
     for src, r in sorted(req.items()):
         req_col = F.when(F.col(source_col) == src, F.lit(r)) \
             .otherwise(req_col)
     return (docs.groupBy(source_col)
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .join(sampled, source_col, "left")
-            .select(source_col, "n_docs",
-                    F.coalesce("n_sampled", F.lit(0)).cast("bigint")
-                    .alias("n_sampled"),
-                    (F.lit(1000).cast("long")
-                     * F.coalesce("n_sampled", F.lit(0))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
+                 .alias("n_sampled"))
+            .select(source_col, "n_docs", "n_sampled",
+                    (F.lit(1000).cast("long") * F.col("n_sampled")
                      / F.col("n_docs")).cast("bigint")
                     .alias("rate_x1000"),
                     req_col.cast("bigint").alias("requested_x1000")))

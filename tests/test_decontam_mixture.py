@@ -52,6 +52,44 @@ def test_decontaminate_filters(spark):
                              n=5).columns) == {"doc_id", "text"}
 
 
+def test_decontaminate_null_doc_id_survives(spark):
+    """A NULL-id row can never be attributed a hit (the stats face
+    reports it n_hits=0), so the filter face must keep it — the
+    anti-join on contaminated ids pins the two faces and the SQL
+    ANTI JOIN replica to the same verdict (review r06b: the former
+    inner join on clean ids silently dropped it)."""
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (None, "the quick brown fox jumps over the dog")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in contamination_stats(
+        d, _bench(spark), n=5).collect()}
+    assert not stats[None]["is_contaminated"]
+    kept = [r["doc_id"] for r in decontaminate(
+        d, _bench(spark), n=5).collect()]
+    assert sorted(kept, key=lambda x: (x is None, x)) == [0, None]
+
+
+def test_mixture_stats_null_source_counted(spark):
+    """NULL source rides the default rate in mixture_sample; the stats
+    face must report the SAME survivors for the NULL group (review
+    r06b: the former sampled-side left join was null-unsafe and
+    reported n_sampled=0)."""
+    rows = [(i, None if i % 2 else "s0", f"text {i}") for i in range(40)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    w = {"s0": 0.0}
+    sampled_null = sum(
+        1 for r in mixture_sample(d, w, default_weight=1.0).collect()
+        if r["source"] is None)
+    stats = {r["source"]: r for r in
+             mixture_stats(d, w, default_weight=1.0).collect()}
+    assert stats[None]["n_docs"] == 20
+    assert stats[None]["n_sampled"] == sampled_null == 20
+    assert stats[None]["rate_x1000"] == 1000
+    assert stats[None]["requested_x1000"] == 1000
+    assert stats["s0"]["n_sampled"] == 0
+
+
 def test_weight_threshold_edges():
     assert weight_threshold(1.0) is None
     assert weight_threshold(0.0) == "00000000"
