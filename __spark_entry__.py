@@ -1663,6 +1663,167 @@ def q_text_tokens_bpe_real(spark, sf_dir):
                            [("t", "h"), ("th", "e")])
 
 
+_PACK_BUDGET = 100
+_PACK_SHARDS = 8
+
+
+def _tokenized_docs(spark, sf_dir):
+    """(doc_id, n_tokens): whitespace token counts (lowercased regexp
+    \\s+ split, empties dropped — the quality_signals tokenization),
+    the input both packing queries share."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    r"\s+"),
+            lambda x: x != "")).cast("bigint").alias("n_tokens"))
+
+
+def q_train_pack_offsets(spark, sf_dir):
+    """GPT-style concat-and-chunk packing plan: deterministic md5
+    shuffle into shards, window cumsum offsets, budget-sized sequence
+    spans. Pure window algebra — one shuffle, SQL-replicable to the
+    last offset."""
+    from racket_linkeddata_spark.operators.packing import pack_offsets
+
+    return pack_offsets(_tokenized_docs(spark, sf_dir),
+                        _PACK_BUDGET, _PACK_SHARDS)
+
+
+def q_train_pack_stats(spark, sf_dir):
+    """Observability face of the packing plan: per shard, totals, the
+    sequence count, tail padding and straddler count — the numbers an
+    operator tunes budget/n_shards with."""
+    from racket_linkeddata_spark.operators.packing import packing_stats
+
+    return packing_stats(_tokenized_docs(spark, sf_dir),
+                         _PACK_BUDGET, _PACK_SHARDS)
+
+
+def q_train_pack_greedy(spark, sf_dir):
+    """Document-boundary-respecting next-fit packing (a document never
+    straddles a sequence). The per-shard fold is an Arrow
+    applyInPandas (the shard is the parallelism unit); the oracle
+    replays the identical linear recurrence as a recursive CTE."""
+    from racket_linkeddata_spark.operators.packing import pack_greedy
+
+    return pack_greedy(_tokenized_docs(spark, sf_dir),
+                       _PACK_BUDGET, _PACK_SHARDS)
+
+
+def _oracle_packed_base(shards: int) -> str:
+    """Shared CTE prefix of the packing oracles: tokenize, md5 shard
+    assignment (the same conv(substr(md5,1,15),16,10) <->
+    CAST('0x'||... AS BIGINT) pair the minhash oracle pins), and the
+    within-shard md5-order position. One copy so tokenization and the
+    permutation cannot drift between the three packing oracles."""
+    return f"""toks AS (
+  SELECT doc_id,
+         md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS key,
+         CAST(len(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+sh AS (
+  SELECT doc_id, key, n_tokens,
+         CAST(('0x' || substr(key, 1, 15)) AS BIGINT) % {shards} AS shard
+  FROM toks),
+base AS (
+  SELECT doc_id, shard, key, n_tokens,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+              AS BIGINT) AS pos,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM sh)"""
+
+
+_ORACLE_PACK_OFFSETS = f"""
+WITH {_oracle_packed_base(_PACK_SHARDS)}
+SELECT doc_id, shard, pos, n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST(end_off AS BIGINT) AS end_off,
+       CAST((end_off - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+       CAST(greatest(end_off - 1, end_off - n_tokens) // {_PACK_BUDGET}
+            AS BIGINT) AS last_seq
+FROM base
+"""
+
+
+_ORACLE_PACK_STATS = f"""
+WITH {_oracle_packed_base(_PACK_SHARDS)}
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+            AS BIGINT) AS n_seqs,
+       CAST((sum(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+            * {_PACK_BUDGET} - sum(n_tokens) AS BIGINT) AS tail_padding,
+       CAST(sum(CASE WHEN (end_off - n_tokens) // {_PACK_BUDGET}
+                       <> greatest(end_off - 1, end_off - n_tokens)
+                          // {_PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM base GROUP BY shard
+"""
+
+
+# the next-fit fold as a linear recurrence: one recursion step per
+# within-shard position (all shards advance in the same step — depth =
+# max docs per shard, not corpus size)
+_ORACLE_PACK_GREEDY = f"""
+WITH RECURSIVE {_oracle_packed_base(_PACK_SHARDS)},
+rec AS (
+  SELECT doc_id, shard, pos, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+  FROM base WHERE pos = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.pos, b.n_tokens,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > {_PACK_BUDGET}
+              THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > {_PACK_BUDGET}
+              THEN b.n_tokens ELSE r.fill + b.n_tokens END
+  FROM rec r JOIN base b ON b.shard = r.shard AND b.pos = r.pos + 1)
+SELECT doc_id, shard, pos, n_tokens, seq_id FROM rec
+"""
+
+
+def q_text_lm_surprisal(spark, sf_dir):
+    """CCNet-shaped frequency-surprisal quality score: integer
+    bit-surprisal (floor-log2) of each token against the corpus's own
+    unigram counts, mean per document x1000. Two-phase count aggregate
+    + token equi-join + per-doc re-aggregate; integer domain end to
+    end, so the oracle is value-exact."""
+    from racket_linkeddata_spark.operators.lmscore import word_surprisal
+
+    return word_surprisal(_docs(spark, sf_dir))
+
+
+_ORACLE_LM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '')) AS token
+  FROM documents),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         (length(bin(g)) - 1)
+           - (length(bin(CAST(coalesce(c.n, 1) AS BIGINT))) - 1) AS bits
+  FROM toks t LEFT JOIN counts c USING (token) CROSS JOIN tot),
+agg AS (SELECT doc_id, count(*) AS n_tokens,
+               sum(bits) AS sum_surprisal
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.sum_surprisal, 0) AS BIGINT) AS sum_surprisal,
+       CAST(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+            ELSE (1000 * a.sum_surprisal) // a.n_tokens END
+            AS BIGINT) AS avg_surprisal_x1000
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG build over sf0.001 documents-derived pages."""
     from racket_linkeddata_spark.plans.kg import build_kg
@@ -1724,6 +1885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_tokens_bpe_real": q_text_tokens_bpe_real,
         "training_data_prep": q_training_data_prep,
+        "train_pack_offsets": q_train_pack_offsets,
+        "train_pack_stats": q_train_pack_stats,
+        "train_pack_greedy": q_train_pack_greedy,
+        "text_lm_surprisal": q_text_lm_surprisal,
     }
 
 
@@ -2120,4 +2285,8 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
             FROM documents""",
         "text_tokens_bpe_real": _oracle_bpe_tokens(),
+        "train_pack_offsets": _ORACLE_PACK_OFFSETS,
+        "train_pack_stats": _ORACLE_PACK_STATS,
+        "train_pack_greedy": _ORACLE_PACK_GREEDY,
+        "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
     }

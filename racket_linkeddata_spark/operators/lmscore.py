@@ -1,0 +1,109 @@
+"""Frequency-surprisal quality scoring — the CCNet-shaped LM filter
+(Wenzek et al. 2020 score web text with a Wikipedia-trained KenLM and
+keep the low-perplexity tail). This operator computes the same signal
+family with a unigram frequency model and INTEGER bit-surprisal so the
+whole score is exactly SQL-replicable:
+
+    surprisal(w) = floor(log2(total)) - floor(log2(count(w)))   [bits]
+
+``floor(log2(n))`` is ``length(bin(n)) - 1`` in both Spark and DuckDB
+— pure integer domain, no float drift. A document's score is its mean
+token surprisal (x1000 fixed point): LOW = built from common words
+(fluent or boilerplate), HIGH = rare-word dense (specialised or junk).
+Callers gate on both tails, like CCNet's head/middle/tail split.
+
+The model defaults to the corpus's own counts (rare-word-density
+scoring); pass ``ref_counts`` — any (token, n) table, e.g.
+``token_counts`` of a trusted corpus — for the true CCNet shape where
+the model is trained elsewhere. Out-of-vocabulary tokens score as
+count 1 (maximum surprisal).
+
+No reference counterpart (racket-linkeddata does no text analysis);
+part of the LLM-pipeline brief.
+
+100 TB shape: counts are one (token, partial-count) two-phase
+aggregate; the grand total rides a broadcast single-row cross join
+(never a driver action); scoring is an equi-join on token — hot
+stopword keys are exactly the skew AQE's skew-join splits — followed
+by a per-document re-aggregate. Tokenization is JVM split/filter;
+no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token): lowercased whitespace tokens, empties dropped —
+    the quality_signals tokenization (regexp \\s+ split, filtered)."""
+    words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+")
+    return (docs
+            .select(F.col(id_col),
+                    F.explode(words).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+def _intlog2(col):
+    # floor(log2(n)) for n >= 1, integer domain end to end
+    return (F.length(F.bin(col)) - 1).cast("bigint")
+
+
+def token_counts(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(token, n) corpus-wide counts — the unigram model, reusable as
+    ``ref_counts`` for scoring a different corpus."""
+    return (_tokens(docs, text_col, id_col)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def word_surprisal(docs: DataFrame, *,
+                   ref_counts: Optional[DataFrame] = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per document: ``(id, n_tokens, sum_surprisal,
+    avg_surprisal_x1000)`` in integer bits against the unigram model
+    (``ref_counts`` or the corpus itself). Empty/NULL documents keep
+    their row with all-zero scores."""
+    toks = _tokens(docs, text_col, id_col)
+    if ref_counts is not None:
+        counts = ref_counts
+    else:
+        # persist: the scoring join AND the grand total both consume
+        # the counts aggregate — unpinned, the corpus tokenizes a 2nd
+        # and 3rd time (the self-join-over-expensive-trees gotcha; the
+        # .explain showed three parquet+Generate branches). The cached
+        # table is vocab-sized, not corpus-sized. Operator-local
+        # subtree, same rationale as paragraphs.paragraph_dedup.
+        counts = (toks.groupBy("token")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .persist())
+    total = counts.agg(F.sum("n").alias("grand_total"))
+
+    scored = (toks
+              .join(counts, "token", "left")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(id_col),
+                      (_intlog2(F.col("grand_total"))
+                       - _intlog2(F.coalesce(F.col("n"), F.lit(1))))
+                      .alias("bits")))
+    agg = (scored
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("bits").alias("sum_surprisal")))
+    return (docs
+            .select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                .alias("n_tokens"),
+                F.coalesce("sum_surprisal", F.lit(0)).cast("bigint")
+                .alias("sum_surprisal"),
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0))
+                .otherwise(F.expr("(1000 * sum_surprisal) div n_tokens"))
+                .cast("bigint").alias("avg_surprisal_x1000")))

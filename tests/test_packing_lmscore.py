@@ -1,0 +1,152 @@
+import pytest
+
+from pyspark.sql import functions as F
+
+from racket_linkeddata_spark.operators.packing import (
+    shuffle_shards, pack_offsets, packing_stats, pack_greedy)
+from racket_linkeddata_spark.operators.lmscore import (
+    token_counts, word_surprisal)
+
+
+def _docs(spark, n=50):
+    rows = [(i, (i * 7) % 23 + (i % 3 == 0)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_shuffle_shards_is_deterministic_permutation(spark):
+    d = _docs(spark)
+    a = sorted(shuffle_shards(d, 4).collect())
+    b = sorted(shuffle_shards(d, 4).collect())
+    assert a == b
+    assert sorted(r["doc_id"] for r in a) == list(range(50))
+    assert all(0 <= r["shard"] < 4 for r in a)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_validates():
+    with pytest.raises(ValueError):
+        shuffle_shards(None, 0)
+
+
+def test_pack_offsets_contiguous_stream(spark):
+    budget = 16
+    rows = pack_offsets(_docs(spark), budget, 3).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for seq in by_shard.values():
+        off = 0
+        for r in seq:
+            assert r["start_off"] == off
+            assert r["end_off"] == off + r["n_tokens"]
+            assert r["first_seq"] == r["start_off"] // budget
+            assert r["last_seq"] == max(r["end_off"] - 1,
+                                        r["start_off"]) // budget
+            off = r["end_off"]
+
+
+def test_pack_offsets_zero_token_doc_single_seq(spark):
+    d = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tokens long")
+    for r in pack_offsets(d, 4, 1).collect():
+        if r["n_tokens"] == 0:
+            assert r["first_seq"] == r["last_seq"]
+
+
+def test_packing_stats_consistent_with_offsets(spark):
+    budget, shards = 16, 3
+    d = _docs(spark)
+    packed = {r["shard"]: r for r in
+              packing_stats(d, budget, shards).collect()}
+    rows = pack_offsets(d, budget, shards).collect()
+    for sh, st in packed.items():
+        mine = [r for r in rows if r["shard"] == sh]
+        tot = sum(r["n_tokens"] for r in mine)
+        assert st["n_docs"] == len(mine)
+        assert st["total_tokens"] == tot
+        assert st["n_seqs"] == -(-tot // budget)
+        assert st["tail_padding"] == st["n_seqs"] * budget - tot
+        assert st["n_straddlers"] == sum(
+            1 for r in mine if r["first_seq"] != r["last_seq"])
+
+
+def _replay_greedy(rows, budget):
+    """Independent python replay of the next-fit fold, per shard."""
+    out = {}
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["pos"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for sh, seq_rows in by_shard.items():
+        seq, fill = 0, 0
+        for r in seq_rows:
+            if fill > 0 and fill + r["n_tokens"] > budget:
+                seq, fill = seq + 1, 0
+            out[r["doc_id"]] = seq
+            fill += r["n_tokens"]
+    return out
+
+
+def test_pack_greedy_matches_replay_and_respects_budget(spark):
+    budget = 16
+    rows = pack_greedy(_docs(spark), budget, 3).collect()
+    expect = _replay_greedy(rows, budget)
+    for r in rows:
+        assert r["seq_id"] == expect[r["doc_id"]]
+    fills = {}
+    singleton = {}
+    for r in rows:
+        k = (r["shard"], r["seq_id"])
+        fills[k] = fills.get(k, 0) + r["n_tokens"]
+        singleton[k] = singleton.get(k, 0) + 1
+    assert any(v > 1 for v in singleton.values())  # non-trivial packing
+    for k, tot in fills.items():
+        assert tot <= budget or singleton[k] == 1
+
+
+def test_pack_greedy_oversize_doc_own_sequence(spark):
+    d = spark.createDataFrame(
+        [(1, 3), (2, 100), (3, 3)], "doc_id long, n_tokens long")
+    rows = {r["doc_id"]: r for r in pack_greedy(d, 8, 1).collect()}
+    big = rows[2]
+    assert sum(1 for r in rows.values()
+               if r["seq_id"] == big["seq_id"]) == 1
+
+
+def test_word_surprisal_hand_computed(spark):
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in word_surprisal(d).collect()}
+    # counts: a=3 b=1 c=1, total=5, intlog2(5)=2
+    # bits: a -> 2-1=1, b -> 2-0=2, c -> 2
+    assert (got[1]["n_tokens"], got[1]["sum_surprisal"],
+            got[1]["avg_surprisal_x1000"]) == (3, 4, 1333)
+    assert (got[2]["n_tokens"], got[2]["sum_surprisal"],
+            got[2]["avg_surprisal_x1000"]) == (2, 3, 1500)
+    for empty in (3, 4):
+        assert (got[empty]["n_tokens"], got[empty]["sum_surprisal"],
+                got[empty]["avg_surprisal_x1000"]) == (0, 0, 0)
+
+
+def test_word_surprisal_ref_counts_oov_max_bits(spark):
+    train = spark.createDataFrame(
+        [(1, "the the the the cat")], "doc_id long, text string")
+    counts = token_counts(train)  # the=4 cat=1 total=5
+    d = spark.createDataFrame(
+        [(9, "the zebra")], "doc_id long, text string")
+    r = word_surprisal(d, ref_counts=counts).collect()[0]
+    # intlog2(5)=2; the -> 2-2=0, zebra OOV -> count 1 -> 2 bits
+    assert (r["n_tokens"], r["sum_surprisal"],
+            r["avg_surprisal_x1000"]) == (2, 2, 1000)
+
+
+def test_word_surprisal_case_and_whitespace_normalized(spark):
+    d = spark.createDataFrame(
+        [(1, "The  THE\tthe\n"), (2, "the")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in word_surprisal(d).collect()}
+    assert got[1]["n_tokens"] == 3
+    # all tokens are 'the': count 4, total 4, bits = 2-2 = 0
+    assert got[1]["sum_surprisal"] == 0 and got[2]["sum_surprisal"] == 0
