@@ -59,6 +59,17 @@ def _lazy_spark():
         repetition_stats,
         simhash,
     )
+    from .operators.decontam import contamination_stats, decontaminate
+    from .operators.lmscore import token_counts, word_surprisal
+    from .operators.mixture import mixture_sample, mixture_stats
+    from .operators.packing import (
+        pack_greedy,
+        pack_offsets,
+        packing_stats,
+        shuffle_shards,
+    )
+    from .operators.paragraphs import paragraph_dedup, passage_counts
+    from .operators.textstats import quality_gate, quality_signals
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
@@ -82,7 +93,13 @@ def __getattr__(name):
                  "lang_id_model", "classify_text",
                  "bpe_token_count", "bpe_encode", "train_bpe",
                  "repetition_stats", "redact_pii",
-                 "kmeans_centroids", "read_warc_stream")
+                 "kmeans_centroids", "read_warc_stream",
+                 "paragraph_dedup", "passage_counts",
+                 "quality_signals", "quality_gate",
+                 "contamination_stats", "decontaminate",
+                 "mixture_sample", "mixture_stats",
+                 "shuffle_shards", "pack_offsets", "packing_stats",
+                 "pack_greedy", "token_counts", "word_surprisal")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
@@ -104,4 +121,10 @@ __all__ = [
     "bpe_token_count", "bpe_encode", "train_bpe",
     "repetition_stats", "redact_pii",
     "kmeans_centroids", "read_warc_stream",
+    "paragraph_dedup", "passage_counts",
+    "quality_signals", "quality_gate",
+    "contamination_stats", "decontaminate",
+    "mixture_sample", "mixture_stats",
+    "shuffle_shards", "pack_offsets", "packing_stats",
+    "pack_greedy", "token_counts", "word_surprisal",
 ]

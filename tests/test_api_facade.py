@@ -1,0 +1,17 @@
+"""The facade contract: every name in ``api.__all__`` resolves — the
+lazy-import map, the __getattr__ allowlist and __all__ cannot drift
+apart (a typo in any of the three raised only at first user access)."""
+
+import pytest
+
+from racket_linkeddata_spark import api
+
+
+def test_every_exported_name_resolves():
+    for name in api.__all__:
+        assert getattr(api, name) is not None, name
+
+
+def test_unknown_name_raises():
+    with pytest.raises(AttributeError):
+        api.no_such_operator

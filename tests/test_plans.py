@@ -195,3 +195,44 @@ def test_paragraph_dedup_plan_shape(spark):
     agg_exchange = [seg for seg in p.split("Exchange")
                     if seg.startswith(" hashpartitioning(pkey")]
     assert agg_exchange, p[:800]
+
+
+def test_pack_offsets_single_exchange(spark):
+    """pack_offsets at 100 TB: ONE shuffle total — the row_number
+    window and the cumsum window both ride the same
+    hashpartitioning(shard) exchange (no second sort-exchange, no
+    join, no Python stage)."""
+    p = _plan(em.q_train_pack_offsets(spark, SF))
+    assert len(re.findall(r"\bExchange hashpartitioning", p)) == 1, p[:800]
+    assert p.count("Window") == 2
+    for node in ("Join", "ArrowEvalPython", "BatchEvalPython",
+                 "CartesianProduct"):
+        assert node not in p, (node, p[:500])
+
+
+def test_pack_greedy_reuses_window_partitioning(spark):
+    """pack_greedy: the applyInPandas groupBy rides the SAME shard
+    partitioning the shuffle window created — one exchange total, one
+    Arrow group-map stage."""
+    p = _plan(em.q_train_pack_greedy(spark, SF))
+    assert len(re.findall(r"\bExchange hashpartitioning", p)) == 1, p[:800]
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p
+
+
+def test_lm_surprisal_two_scans_counts_pinned(spark):
+    """word_surprisal: the corpus tokenizes exactly TWICE (the scoring
+    probe + the pinned counts aggregate); the grand total rides the
+    cached counts (InMemoryTableScan), not a third tokenize; the
+    single-row total joins via broadcast, and the count aggregate is
+    two-phase (partial_count before its exchange)."""
+    df = em.q_text_lm_surprisal(spark, SF)
+    p = _plan(df)
+    # toString echoes the cached subtree's Generate under each
+    # InMemoryTableScan: 1 live probe tokenize + 2 cache echoes. The
+    # executed tokenizes are probe + one cache build = 2.
+    assert p.count("InMemoryTableScan") == 2, p[:800]
+    assert len(re.findall(r"Generate explode", p)) == 3, p[:800]
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in p \
+        or "BroadcastNestedLoopJoin Cross" in p, p[:800]
+    assert "partial_count" in p
