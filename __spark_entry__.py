@@ -1754,10 +1754,11 @@ WITH {_oracle_packed_base(_PACK_SHARDS)}
 SELECT shard,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST((sum(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
-            AS BIGINT) AS n_seqs,
-       CAST((sum(n_tokens) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
-            * {_PACK_BUDGET} - sum(n_tokens) AS BIGINT) AS tail_padding,
+       CAST(greatest((sum(n_tokens) + {_PACK_BUDGET} - 1)
+                     // {_PACK_BUDGET}, 1) AS BIGINT) AS n_seqs,
+       CAST(greatest((sum(n_tokens) + {_PACK_BUDGET} - 1)
+                     // {_PACK_BUDGET}, 1) * {_PACK_BUDGET}
+            - sum(n_tokens) AS BIGINT) AS tail_padding,
        CAST(sum(CASE WHEN (end_off - n_tokens) // {_PACK_BUDGET}
                        <> greatest(end_off - 1, end_off - n_tokens)
                           // {_PACK_BUDGET}
@@ -1776,10 +1777,12 @@ rec AS (
          CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
   FROM base WHERE pos = 1
   UNION ALL
+  -- recursive rows are pos >= 2 (never first in shard), so the
+  -- engine fold's i > 0 guard is implicit here
   SELECT b.doc_id, b.shard, b.pos, b.n_tokens,
-         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > {_PACK_BUDGET}
+         CASE WHEN r.fill + b.n_tokens > {_PACK_BUDGET}
               THEN r.seq_id + 1 ELSE r.seq_id END,
-         CASE WHEN r.fill > 0 AND r.fill + b.n_tokens > {_PACK_BUDGET}
+         CASE WHEN r.fill + b.n_tokens > {_PACK_BUDGET}
               THEN b.n_tokens ELSE r.fill + b.n_tokens END
   FROM rec r JOIN base b ON b.shard = r.shard AND b.pos = r.pos + 1)
 SELECT doc_id, shard, pos, n_tokens, seq_id FROM rec
@@ -1805,7 +1808,7 @@ WITH toks AS (
              x -> x <> '')) AS token
   FROM documents),
 counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM counts),
+tot AS (SELECT CAST(coalesce(sum(n), 1) AS BIGINT) AS g FROM counts),
 scored AS (
   SELECT t.doc_id,
          (length(bin(g)) - 1)

@@ -16,7 +16,12 @@ The model defaults to the corpus's own counts (rare-word-density
 scoring); pass ``ref_counts`` — any (token, n) table, e.g.
 ``token_counts`` of a trusted corpus — for the true CCNet shape where
 the model is trained elsewhere. Out-of-vocabulary tokens score as
-count 1 (maximum surprisal).
+count 1 (maximum surprisal). A caller-supplied ``ref_counts`` is
+consumed by BOTH the scoring join and the grand-total aggregate — pass
+a pinned/cheap lineage (a parquet read or a persisted table), or the
+counts plan evaluates twice (the repo's self-join-over-expensive-trees
+gotcha; the self-counts branch pins its own aggregate for exactly this
+reason).
 
 No reference counterpart (racket-linkeddata does no text analysis);
 part of the LLM-pipeline brief.
@@ -82,7 +87,11 @@ def word_surprisal(docs: DataFrame, *,
         counts = (toks.groupBy("token")
                   .agg(F.count(F.lit(1)).alias("n"))
                   .persist())
-    total = counts.agg(F.sum("n").alias("grand_total"))
+    # coalesce: an empty counts table (empty/degenerate ref corpus)
+    # sums to NULL — pin it to 1 so intlog2 stays in the integer
+    # domain and every score column remains non-NULL (review r06c)
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(1))
+                       .alias("grand_total"))
 
     scored = (toks
               .join(counts, "token", "left")

@@ -107,10 +107,13 @@ def packing_stats(docs: DataFrame, budget: int, n_shards: int, *,
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
-                 F.expr(f"(sum(n_tokens) + {budget} - 1) div {budget}")
-                 .alias("n_seqs"),
-                 F.expr(f"((sum(n_tokens) + {budget} - 1) div {budget})"
-                        f" * {budget} - sum(n_tokens)")
+                 # greatest(..., 1): a shard whose docs all have zero
+                 # tokens still occupies sequence 0 in pack_offsets —
+                 # the two faces must agree (review r06c)
+                 F.expr(f"greatest((sum(n_tokens) + {budget} - 1) "
+                        f"div {budget}, 1)").alias("n_seqs"),
+                 F.expr(f"greatest((sum(n_tokens) + {budget} - 1) "
+                        f"div {budget}, 1) * {budget} - sum(n_tokens)")
                  .alias("tail_padding"),
                  F.sum(F.when(F.col("first_seq") != F.col("last_seq"),
                               1).otherwise(0))
@@ -145,8 +148,12 @@ def pack_greedy(docs: DataFrame, budget: int, n_shards: int, *,
         pdf = pdf.sort_values("pos", kind="stable")
         seqs = []
         seq, fill = 0, 0
-        for t in pdf["n_tokens"]:
-            if fill > 0 and fill + t > budget:
+        # guard on position, not fill > 0: after the first doc the
+        # current sequence is always occupied, and a fill-based guard
+        # let an over-budget doc share a sequence opened by a
+        # zero-token doc (review r06c)
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > budget:
                 seq, fill = seq + 1, 0
             seqs.append(seq)
             fill += t

@@ -81,8 +81,8 @@ def _replay_greedy(rows, budget):
         by_shard.setdefault(r["shard"], []).append(r)
     for sh, seq_rows in by_shard.items():
         seq, fill = 0, 0
-        for r in seq_rows:
-            if fill > 0 and fill + r["n_tokens"] > budget:
+        for i, r in enumerate(seq_rows):
+            if i > 0 and fill + r["n_tokens"] > budget:
                 seq, fill = seq + 1, 0
             out[r["doc_id"]] = seq
             fill += r["n_tokens"]
@@ -104,6 +104,37 @@ def test_pack_greedy_matches_replay_and_respects_budget(spark):
     assert any(v > 1 for v in singleton.values())  # non-trivial packing
     for k, tot in fills.items():
         assert tot <= budget or singleton[k] == 1
+
+
+def test_pack_greedy_zero_token_doc_never_shields_oversize(spark):
+    """review r06c: a fill-based new-sequence guard let an over-budget
+    doc share the sequence a zero-token doc opened. The position-based
+    guard must keep the budget invariant for EVERY adjacent ordering,
+    so plant zero-token docs between over-budget docs and check all
+    (shard, seq) groups."""
+    rows = [(i, 0 if i % 2 else 100) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_greedy(d, 8, 2).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault((r["shard"], r["seq_id"]), []).append(
+            r["n_tokens"])
+    for toks in groups.values():
+        assert sum(toks) <= 8 or len(toks) == 1
+    expect = _replay_greedy(out, 8)
+    for r in out:
+        assert r["seq_id"] == expect[r["doc_id"]]
+
+
+def test_packing_stats_zero_token_shard_one_sequence(spark):
+    """review r06c: an all-zero-token shard occupies sequence 0 in
+    pack_offsets, so stats must report n_seqs=1 (not 0), padding =
+    budget."""
+    d = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_tokens long")
+    st = packing_stats(d, 10, 1).collect()[0]
+    assert (st["n_seqs"], st["tail_padding"]) == (1, 10)
+    offs = pack_offsets(d, 10, 1).collect()
+    assert all(r["first_seq"] == r["last_seq"] == 0 for r in offs)
 
 
 def test_pack_greedy_oversize_doc_own_sequence(spark):
@@ -141,6 +172,16 @@ def test_word_surprisal_ref_counts_oov_max_bits(spark):
     # intlog2(5)=2; the -> 2-2=0, zebra OOV -> count 1 -> 2 bits
     assert (r["n_tokens"], r["sum_surprisal"],
             r["avg_surprisal_x1000"]) == (2, 2, 1000)
+
+
+def test_word_surprisal_empty_ref_counts_all_zero(spark):
+    """review r06c: an empty ref_counts table must yield integer zeros
+    (grand total pinned to 1 -> 0 bits), never NULL score columns."""
+    empty = spark.createDataFrame([], "token string, n long")
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    r = word_surprisal(d, ref_counts=empty).collect()[0]
+    assert (r["n_tokens"], r["sum_surprisal"],
+            r["avg_surprisal_x1000"]) == (2, 0, 0)
 
 
 def test_word_surprisal_case_and_whitespace_normalized(spark):
