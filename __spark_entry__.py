@@ -1789,6 +1789,36 @@ SELECT doc_id, shard, pos, n_tokens, seq_id FROM rec
 """
 
 
+_QUOTA_RECIPE = {"src0": 10, "src1": 3, "src2": 0}
+_QUOTA_DEFAULT = 7
+
+
+def q_text_quota_sample(spark, sf_dir):
+    """Exact per-source quotas (absolute-count sibling of
+    mixture_sample): md5-order prefix of each source, deterministic
+    and subset-monotone across quota sizes. The rank<=K filter rides
+    Spark's WindowGroupLimit partial top-K (plan-pinned)."""
+    from racket_linkeddata_spark.operators.mixture import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir), _QUOTA_RECIPE,
+                        default_quota=_QUOTA_DEFAULT)
+
+
+def _oracle_quota_sample() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {q}"
+                     for s, q in sorted(_QUOTA_RECIPE.items()))
+    return f"""
+        WITH ranked AS (
+          SELECT doc_id, text, lang, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rnk
+          FROM documents)
+        SELECT doc_id, text, lang, source, n_chars FROM ranked
+        WHERE rnk <= CASE source {cases} ELSE {_QUOTA_DEFAULT} END"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -1892,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_stats": q_train_pack_stats,
         "train_pack_greedy": q_train_pack_greedy,
         "text_lm_surprisal": q_text_lm_surprisal,
+        "text_quota_sample": q_text_quota_sample,
     }
 
 
@@ -2292,4 +2323,5 @@ def oracle_sql() -> dict[str, str]:
         "train_pack_stats": _ORACLE_PACK_STATS,
         "train_pack_greedy": _ORACLE_PACK_GREEDY,
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
+        "text_quota_sample": _oracle_quota_sample(),
     }

@@ -61,7 +61,11 @@ def _lazy_spark():
     )
     from .operators.decontam import contamination_stats, decontaminate
     from .operators.lmscore import token_counts, word_surprisal
-    from .operators.mixture import mixture_sample, mixture_stats
+    from .operators.mixture import (
+        mixture_sample,
+        mixture_stats,
+        quota_sample,
+    )
     from .operators.packing import (
         pack_greedy,
         pack_offsets,
@@ -97,7 +101,7 @@ def __getattr__(name):
                  "paragraph_dedup", "passage_counts",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
-                 "mixture_sample", "mixture_stats",
+                 "mixture_sample", "mixture_stats", "quota_sample",
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal")
     if name in spark_api:
@@ -124,7 +128,7 @@ __all__ = [
     "paragraph_dedup", "passage_counts",
     "quality_signals", "quality_gate",
     "contamination_stats", "decontaminate",
-    "mixture_sample", "mixture_stats",
+    "mixture_sample", "mixture_stats", "quota_sample",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
 ]

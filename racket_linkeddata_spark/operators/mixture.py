@@ -104,3 +104,74 @@ def mixture_stats(docs: DataFrame, weights: Dict[str, float], *,
                      / F.col("n_docs")).cast("bigint")
                     .alias("rate_x1000"),
                     req_col.cast("bigint").alias("requested_x1000")))
+
+
+def quota_sample(docs: DataFrame, quotas: Dict[str, int], *,
+                 default_quota: Optional[int] = None,
+                 source_col: str = "source",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact per-source quotas — "take at most N documents per source"
+    (the absolute-count sibling of mixture_sample's rates). Selection
+    is the md5-order prefix of each source, so it is deterministic in
+    the id, stable under reruns, and a SUBSET relation holds across
+    quota sizes (the 1M-doc sample contains the 100k one — audits can
+    shrink a recipe without resampling).
+
+    Sources absent from ``quotas`` keep ``default_quota`` docs
+    (None = unlimited). A NULL source never equals any recipe key and
+    rides the default, the mixture_sample convention. Returns the
+    input columns of survivors.
+
+    100 TB shape: the rank <= K filter over the row_number window is
+    rewritten by Spark's WindowGroupLimit rule into a per-partition
+    partial top-K BEFORE the shuffle, so a mega-source never sorts
+    globally — each task forwards at most K rows per source (pinned by
+    tests/test_plans.py). Unlimited-quota sources skip the window
+    entirely via a pre-split union."""
+    for src, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota must be >= 0, got {q} for {src!r}")
+    if default_quota is not None and default_quota < 0:
+        raise ValueError("default_quota must be >= 0 or None")
+
+    capped_srcs = sorted(quotas)
+    # coalesce: IN is NULL (not false) for a NULL source, and a bare
+    # ~IN filter would drop NULL-source rows from BOTH branches — a
+    # NULL source rides the default, the mixture_sample convention
+    in_capped = F.coalesce(F.col(source_col).isin(capped_srcs),
+                           F.lit(False)) if capped_srcs else F.lit(False)
+
+    # unlimited sources never enter the window (no top-K, no shuffle)
+    if default_quota is None:
+        free = docs.filter(~in_capped)
+        capped = docs.filter(in_capped)
+    else:
+        free = docs.filter(F.lit(False))
+        capped = docs
+
+    if not quotas and default_quota is None:
+        return docs
+
+    quota_col = F.lit(default_quota) if default_quota is not None \
+        else F.lit(None).cast("int")
+    for src, q in sorted(quotas.items()):
+        quota_col = F.when(F.col(source_col) == src, F.lit(q)) \
+            .otherwise(quota_col)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(source_col).orderBy(_key(id_col),
+                                               F.col(id_col))
+    # the LITERAL bound (largest quota in play) is what lets Spark's
+    # InferWindowGroupLimit rewrite the filter into a per-partition
+    # partial top-K before the shuffle — a column-valued bound alone
+    # defeats the rule; the per-source column compare then trims
+    # exactly
+    caps = list(quotas.values()) \
+        + ([default_quota] if default_quota is not None else [])
+    max_cap = max(caps) if caps else 0
+    kept = (capped
+            .withColumn("_rank", F.row_number().over(w))
+            .filter((F.col("_rank") <= F.lit(max_cap))
+                    & (F.col("_rank") <= quota_col))
+            .drop("_rank"))
+    return free.unionByName(kept)

@@ -137,3 +137,52 @@ def test_mixture_sample_is_subset_stable_under_recipe_change(spark):
            mixture_sample(d, {"s1": 0.7}, default_weight=1.0)
            .filter(F.col("source") == "s1").collect()}
     assert small <= big and len(small) < len(big)
+
+
+def test_quota_sample_exact_counts_and_subset(spark):
+    from racket_linkeddata_spark.operators.mixture import quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_sample(d, {"s0": 5, "s1": 3}, default_quota=7).collect()
+    counts = {}
+    for r in out:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == {"s0": 5, "s1": 3, "s2": 7}
+    # subset relation: shrinking a quota yields a subset of the larger
+    small = {r["doc_id"] for r in
+             quota_sample(d, {"s0": 2, "s1": 3}, default_quota=7).collect()}
+    big = {r["doc_id"] for r in out}
+    assert small < big
+    # determinism
+    again = {r["doc_id"] for r in
+             quota_sample(d, {"s0": 5, "s1": 3}, default_quota=7).collect()}
+    assert again == big
+
+
+def test_quota_sample_unlimited_default_and_null_source(spark):
+    from racket_linkeddata_spark.operators.mixture import quota_sample
+
+    rows = [(i, None if i % 2 else "s0") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    # default None = unlimited: NULL-source docs all survive
+    out = quota_sample(d, {"s0": 4}).collect()
+    assert sum(1 for r in out if r["source"] is None) == 20
+    assert sum(1 for r in out if r["source"] == "s0") == 4
+    # default quota applies to NULL source too
+    out2 = quota_sample(d, {"s0": 4}, default_quota=6).collect()
+    assert sum(1 for r in out2 if r["source"] is None) == 6
+
+
+def test_quota_sample_zero_quota_and_validation(spark):
+    import pytest as _pytest
+    from racket_linkeddata_spark.operators.mixture import quota_sample
+
+    d = spark.createDataFrame([(1, "s0"), (2, "s1")],
+                              "doc_id long, source string")
+    out = quota_sample(d, {"s0": 0}).collect()
+    assert [r["source"] for r in out] == ["s1"]
+    with _pytest.raises(ValueError):
+        quota_sample(d, {"s0": -1})
+    # no quotas at all = identity
+    assert len(quota_sample(d, {}).collect()) == 2

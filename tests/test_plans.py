@@ -236,3 +236,13 @@ def test_lm_surprisal_two_scans_counts_pinned(spark):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in p \
         or "BroadcastNestedLoopJoin Cross" in p, p[:800]
     assert "partial_count" in p
+
+
+def test_quota_sample_window_group_limit(spark):
+    """quota_sample at 100 TB: the rank<=K filter must ride Spark's
+    InferWindowGroupLimit rewrite — a partial top-K BEFORE the
+    exchange (each task forwards at most max-quota rows per source; a
+    mega-source never sorts globally)."""
+    p = _plan(em.q_text_quota_sample(spark, SF))
+    assert p.count("WindowGroupLimit") == 2, p[:800]  # partial + final
+    assert "CartesianProduct" not in p and "Join" not in p
