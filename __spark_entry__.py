@@ -1789,6 +1789,115 @@ SELECT doc_id, shard, pos, n_tokens, seq_id FROM rec
 """
 
 
+_SPAN_L = 6
+_SPAN_REPEAT = 5
+_SPAN_BOILER = ("this content is syndicated under common license "
+                "terms variant")
+
+
+def _span_corpus(d):
+    """Derived span-bearing corpus for the substring-dedup queries:
+    each doc's text gets a mid-stream shared boilerplate sentence
+    (5 variants keyed by doc_id % 5 — ~N/5 occurrences each), so
+    duplicated spans exist INSIDE running text at every sf. Single
+    source of truth; _oracle_span_base is its SQL twin."""
+    return d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" " + _SPAN_BOILER + " "),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(" closing words")).alias("text"))
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. exact-substring mode at
+    L-token granularity — finer than paragraph_dedup, stricter than
+    MinHash): the planted boilerplate span is cut from every document
+    mid-text, surviving tokens byte-preserved."""
+    from racket_linkeddata_spark.operators.spans import span_dedup
+
+    return span_dedup(_span_corpus(_docs(spark, sf_dir)),
+                      L=_SPAN_L, min_repeat=_SPAN_REPEAT)
+
+
+def q_dedup_span_stats(spark, sf_dir):
+    """Observability face of span dedup: per doc, the maximal merged
+    duplicated spans and their window counts."""
+    from racket_linkeddata_spark.operators.spans import duplicate_spans
+
+    return duplicate_spans(_span_corpus(_docs(spark, sf_dir)),
+                           L=_SPAN_L, min_repeat=_SPAN_REPEAT)
+
+
+def _oracle_span_base() -> str:
+    """Shared CTE prefix of the two span oracles: the derived corpus,
+    positioned L-token window hashes, the hot-hash set, and the merged
+    maximal spans (window-function interval algebra identical to the
+    engine's)."""
+    L, R = _SPAN_L, _SPAN_REPEAT
+    return f"""aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' {_SPAN_BOILER} '
+           || (doc_id % 5) || ' closing words' AS text
+  FROM documents),
+tw AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+w AS (
+  SELECT doc_id, u.s.start AS start, u.s.whash AS whash
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(words) - {L} + 2),
+                 i -> struct_pack(
+                   start := CAST(i - 1 AS BIGINT),
+                   whash := md5(array_to_string(
+                     words[i:i + {L} - 1], ' '))))) AS s
+        FROM tw WHERE len(words) >= {L}) u),
+hot AS (SELECT whash FROM w GROUP BY whash HAVING count(*) >= {R}),
+dup AS (SELECT w.doc_id, w.start FROM w JOIN hot USING (whash)),
+m AS (
+  SELECT doc_id, start,
+         max(start + {L}) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM dup),
+g AS (
+  SELECT doc_id, start,
+         sum(CASE WHEN pme IS NULL OR start > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+spans AS (
+  SELECT doc_id,
+         CAST(min(start) AS BIGINT) AS span_start,
+         CAST(max(start) + {L} AS BIGINT) AS span_end,
+         count(*) AS n_windows
+  FROM g GROUP BY doc_id, sid)"""
+
+
+_ORACLE_DEDUP_SPAN_STATS = f"""
+WITH {_oracle_span_base()}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+_ORACLE_DEDUP_SPANS = f"""
+WITH {_oracle_span_base()},
+sp AS (SELECT doc_id,
+              list(struct_pack(s := span_start, e := span_end)) AS spans
+       FROM spans GROUP BY doc_id)
+SELECT a.doc_id,
+       CASE WHEN sp.spans IS NULL THEN a.text
+            ELSE array_to_string(list_filter(
+                   string_split(a.text, ' '),
+                   (x, i) -> len(list_filter(sp.spans,
+                     v -> i - 1 >= v.s AND i - 1 < v.e)) = 0), ' ')
+       END AS text_dedup,
+       CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(sp.spans, v -> v.e - v.s)),
+                     0) AS BIGINT) AS n_dropped_tokens
+FROM aug a LEFT JOIN sp USING (doc_id)
+"""
+
+
 _QUOTA_RECIPE = {"src0": 10, "src1": 3, "src2": 0}
 _QUOTA_DEFAULT = 7
 
@@ -1923,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_greedy": q_train_pack_greedy,
         "text_lm_surprisal": q_text_lm_surprisal,
         "text_quota_sample": q_text_quota_sample,
+        "dedup_spans": q_dedup_spans,
+        "dedup_span_stats": q_dedup_span_stats,
     }
 
 
@@ -2324,4 +2435,6 @@ def oracle_sql() -> dict[str, str]:
         "train_pack_greedy": _ORACLE_PACK_GREEDY,
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
         "text_quota_sample": _oracle_quota_sample(),
+        "dedup_spans": _ORACLE_DEDUP_SPANS,
+        "dedup_span_stats": _ORACLE_DEDUP_SPAN_STATS,
     }

@@ -73,6 +73,7 @@ def _lazy_spark():
         shuffle_shards,
     )
     from .operators.paragraphs import paragraph_dedup, passage_counts
+    from .operators.spans import duplicate_spans, span_dedup
     from .operators.textstats import quality_gate, quality_signals
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
@@ -99,6 +100,7 @@ def __getattr__(name):
                  "repetition_stats", "redact_pii",
                  "kmeans_centroids", "read_warc_stream",
                  "paragraph_dedup", "passage_counts",
+                 "duplicate_spans", "span_dedup",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
                  "mixture_sample", "mixture_stats", "quota_sample",
@@ -126,6 +128,7 @@ __all__ = [
     "repetition_stats", "redact_pii",
     "kmeans_centroids", "read_warc_stream",
     "paragraph_dedup", "passage_counts",
+    "duplicate_spans", "span_dedup",
     "quality_signals", "quality_gate",
     "contamination_stats", "decontaminate",
     "mixture_sample", "mixture_stats", "quota_sample",

@@ -246,3 +246,24 @@ def test_quota_sample_window_group_limit(spark):
     p = _plan(em.q_text_quota_sample(spark, SF))
     assert p.count("WindowGroupLimit") == 2, p[:800]  # partial + final
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_span_dedup_plan_shape(spark):
+    """span_dedup at 100 TB: window hashing is map-side linear, the
+    global window-hash count is a two-phase aggregate on whash only
+    (the shuffle carries 32-char hashes, never text), the hot set
+    rides a BROADCAST left-semi join in the common case, and there is
+    no cartesian product anywhere."""
+    from racket_linkeddata_spark.operators.spans import span_dedup
+
+    d = em._docs(spark, SF).select("doc_id", "text")
+    stats = {}
+    df = span_dedup(d, L=6, min_repeat=5, stats_out=stats)
+    p = _plan(df)
+    assert stats["hot_broadcast"]
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p[:800]
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    agg_exchange = [seg for seg in p.split("Exchange")
+                    if seg.startswith(" hashpartitioning(whash")]
+    assert agg_exchange, p[:800]
