@@ -1928,6 +1928,50 @@ def _oracle_quota_sample() -> str:
         WHERE rnk <= CASE source {cases} ELSE {_QUOTA_DEFAULT} END"""
 
 
+_EPOCH_RECIPE = {"src0": 2.5, "src1": 0.25, "src2": 3.0}
+_EPOCH_DEFAULT = 1.0
+
+
+def q_text_epoch_upsample(spark, sf_dir):
+    """Epoch up-sampling (the w > 1 half of the mixture recipe —
+    "books x2.4 epochs"): floor(w) copies + a salted-md5 fractional
+    epoch, deterministic in the id. Map-side explode, no shuffle."""
+    from racket_linkeddata_spark.operators.mixture import epoch_upsample
+
+    return (epoch_upsample(_docs(spark, sf_dir), _EPOCH_RECIPE,
+                           default_weight=_EPOCH_DEFAULT)
+            .select("doc_id", "source", "epoch"))
+
+
+def _oracle_epoch_upsample() -> str:
+    """Generated from the same recipe + threshold helper as the engine
+    (weight_threshold), so the fractional-epoch gate compares the
+    identical hex strings."""
+    from racket_linkeddata_spark.operators.mixture import weight_threshold
+
+    def n_sql(w: float) -> str:
+        base = int(w)
+        frac = w - base
+        if frac <= 0:
+            return str(base)
+        thr = weight_threshold(frac)
+        return (f"({base} + CASE WHEN substr(md5(CAST(doc_id AS "
+                f"VARCHAR) || ':epoch'), 1, 8) < '{thr}' "
+                f"THEN 1 ELSE 0 END)")
+
+    cases = " ".join(f"WHEN '{s}' THEN {n_sql(w)}"
+                     for s, w in sorted(_EPOCH_RECIPE.items()))
+    return f"""
+        WITH n AS (
+          SELECT doc_id, source,
+                 CASE source {cases}
+                 ELSE {n_sql(_EPOCH_DEFAULT)} END AS n_epochs
+          FROM documents)
+        SELECT doc_id, source, CAST(unnest(range(0, n_epochs)) AS BIGINT)
+               AS epoch
+        FROM n WHERE n_epochs > 0"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2033,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_surprisal": q_text_lm_surprisal,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
+        "text_epoch_upsample": q_text_epoch_upsample,
         "dedup_span_stats": q_dedup_span_stats,
     }
 
@@ -2436,5 +2481,6 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
+        "text_epoch_upsample": _oracle_epoch_upsample(),
         "dedup_span_stats": _ORACLE_DEDUP_SPAN_STATS,
     }

@@ -62,6 +62,7 @@ def _lazy_spark():
     from .operators.decontam import contamination_stats, decontaminate
     from .operators.lmscore import token_counts, word_surprisal
     from .operators.mixture import (
+        epoch_upsample,
         mixture_sample,
         mixture_stats,
         quota_sample,
@@ -104,6 +105,7 @@ def __getattr__(name):
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
                  "mixture_sample", "mixture_stats", "quota_sample",
+                 "epoch_upsample",
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal")
     if name in spark_api:
@@ -132,6 +134,7 @@ __all__ = [
     "quality_signals", "quality_gate",
     "contamination_stats", "decontaminate",
     "mixture_sample", "mixture_stats", "quota_sample",
+    "epoch_upsample",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
 ]

@@ -17,9 +17,10 @@ generate-the-oracle-from-the-same-table rule).
 
 100 TB shape: a WHEN-chain over the (small, recipe-sized) weight dict —
 no join, no shuffle, whole-stage codegen; composes with any downstream
-operator. Subsampling only (w <= 1); epoch up-sampling (w > 1) is a
-different op (explode on ceil(w) with a fractional last epoch) and is
-rejected loudly rather than silently capped.
+operator. mixture_sample is subsampling only (w <= 1, rejected loudly
+above); the w > 1 half of a recipe is epoch_upsample below (explode on
+floor(w) + a salted-key fractional epoch). quota_sample is the
+absolute-count face.
 """
 
 from __future__ import annotations
@@ -175,3 +176,61 @@ def quota_sample(docs: DataFrame, quotas: Dict[str, int], *,
                     & (F.col("_rank") <= quota_col))
             .drop("_rank"))
     return free.unionByName(kept)
+
+
+def epoch_upsample(docs: DataFrame, weights: Dict[str, float], *,
+                   default_weight: float = 1.0,
+                   source_col: str = "source",
+                   id_col: str = "doc_id",
+                   max_epochs: int = 1000) -> DataFrame:
+    """Epoch up-sampling — the w > 1 half of the mixture recipe that
+    mixture_sample rejects ("books x2.4 epochs"): every document is
+    emitted floor(w) times plus one more iff its salted md5 key clears
+    frac(w). Deterministic in the id, no RNG. Returns the input
+    columns + ``epoch`` (0-based copy index — ids are intentionally no
+    longer unique; (id, epoch) is).
+
+    Works for any w >= 0 (w < 1 degenerates to subsampling on the
+    SALTED key — use mixture_sample when id-stable subsets matter).
+    Weights above ``max_epochs`` fail loudly: an explode factor of
+    10^6 is a recipe typo, not a plan.
+
+    100 TB shape: a WHEN chain + one explode(sequence) Generate —
+    map-side linear in the OUTPUT size, no shuffle, no join."""
+    for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"epoch weight must be >= 0, got {w} "
+                             f"for {src!r}")
+        if w > max_epochs:
+            raise ValueError(f"epoch weight {w} for {src!r} exceeds "
+                             f"max_epochs={max_epochs}")
+    if default_weight < 0 or default_weight > max_epochs:
+        raise ValueError("default_weight out of [0, max_epochs]")
+
+    # the fractional-epoch key is SALTED so it is independent of
+    # mixture_sample's keep key (an unsalted key would correlate the
+    # extra epoch with subsample survival)
+    salted = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":epoch"))),
+        1, 8)
+
+    def n_epochs(w: float):
+        base = int(w)
+        thr = weight_threshold(w - base) if w - base > 0 else None
+        n = F.lit(base)
+        if thr is not None:
+            n = n + F.when(salted < F.lit(thr), 1).otherwise(0)
+        return n
+
+    n_col = n_epochs(default_weight)
+    for src, w in sorted(weights.items()):
+        n_col = F.when(F.col(source_col) == src, n_epochs(w)) \
+            .otherwise(n_col)
+
+    epochs = F.when(n_col > 0,
+                    F.sequence(F.lit(0), n_col - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    # cast outside the generator (a cast-wrapped explode is rejected)
+    return (docs
+            .withColumn("epoch", F.explode(epochs))
+            .withColumn("epoch", F.col("epoch").cast("bigint")))

@@ -186,3 +186,58 @@ def test_quota_sample_zero_quota_and_validation(spark):
         quota_sample(d, {"s0": -1})
     # no quotas at all = identity
     assert len(quota_sample(d, {}).collect()) == 2
+
+
+def test_epoch_upsample_counts_and_determinism(spark):
+    from racket_linkeddata_spark.operators.mixture import epoch_upsample
+
+    rows = [(i, f"s{i % 2}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(d, {"s0": 2.5, "s1": 0.0},
+                         default_weight=1.0).collect()
+    s0 = [r for r in out if r["source"] == "s0"]
+    # every s0 doc appears 2 or 3 times; ~50% get the 3rd epoch
+    per_doc = {}
+    for r in s0:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert all(len(v) in (2, 3) for v in per_doc.values())
+    n3 = sum(1 for v in per_doc.values() if len(v) == 3)
+    assert 25 <= n3 <= 75  # md5-uniform around 50 of 100
+    assert not [r for r in out if r["source"] == "s1"]
+    # determinism
+    again = sorted((r["doc_id"], r["epoch"]) for r in epoch_upsample(
+        d, {"s0": 2.5, "s1": 0.0}, default_weight=1.0).collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in out)
+
+
+def test_epoch_upsample_integer_weight_and_validation(spark):
+    import pytest as _pytest
+    from racket_linkeddata_spark.operators.mixture import epoch_upsample
+
+    d = spark.createDataFrame([(1, "s0"), (2, None)],
+                              "doc_id long, source string")
+    out = epoch_upsample(d, {"s0": 3.0}, default_weight=2.0).collect()
+    assert sorted(r["epoch"] for r in out if r["doc_id"] == 1) == [0, 1, 2]
+    # NULL source rides the default (2 epochs)
+    assert sorted(r["epoch"] for r in out if r["doc_id"] == 2) == [0, 1]
+    with _pytest.raises(ValueError):
+        epoch_upsample(d, {"s0": -0.1})
+    with _pytest.raises(ValueError):
+        epoch_upsample(d, {"s0": 5000.0})
+
+
+def test_epoch_upsample_fraction_independent_of_mixture_key(spark):
+    """The fractional-epoch key is salted: the set of docs getting the
+    extra epoch at frac=0.5 must not equal the mixture_sample 0.5
+    survivor set (unsalted they would be identical)."""
+    from racket_linkeddata_spark.operators.mixture import (
+        epoch_upsample, mixture_sample)
+
+    rows = [(i, "s0") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    extra = {r["doc_id"] for r in
+             epoch_upsample(d, {"s0": 1.5}).collect()
+             if r["epoch"] == 1}
+    kept = {r["doc_id"] for r in mixture_sample(d, {"s0": 0.5}).collect()}
+    assert extra != kept
