@@ -58,3 +58,24 @@ def test_bpe_null_text_parity(spark, corpus_dir):
     got = _compare(spark, corpus_dir, "text_tokens_bpe_real")
     by_id = {r[0]: r[1] for r in got}
     assert by_id[2] == 0 and by_id[3] == 0
+
+
+def test_lm_surprisal_null_text_parity(spark, corpus_dir):
+    got = _compare(spark, corpus_dir, "text_lm_surprisal")
+    cols = _compare.cols
+    rows = {dict(zip(cols, r))["doc_id"]: dict(zip(cols, r)) for r in got}
+    # NULL == '' semantics: zero tokens, zero scores, row present
+    for d in (2, 3):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["avg_surprisal_x1000"] == 0
+
+
+def test_packing_null_text_parity(spark, corpus_dir):
+    for name in ("train_pack_offsets", "train_pack_stats",
+                 "train_pack_greedy"):
+        _compare(spark, corpus_dir, name)
+
+
+def test_spans_null_text_parity(spark, corpus_dir):
+    for name in ("dedup_spans", "dedup_span_stats"):
+        _compare(spark, corpus_dir, name)

@@ -226,6 +226,10 @@ def test_lm_surprisal_two_scans_counts_pinned(spark):
     cached counts (InMemoryTableScan), not a third tokenize; the
     single-row total joins via broadcast, and the count aggregate is
     two-phase (partial_count before its exchange)."""
+    # hermetic: an earlier test that ran this query leaves the counts
+    # subtree in the CacheManager, and the second persist's plan text
+    # nests extra cached-relation echoes (suite-order flake)
+    spark.catalog.clearCache()
     df = em.q_text_lm_surprisal(spark, SF)
     p = _plan(df)
     # toString echoes the cached subtree's Generate under each
