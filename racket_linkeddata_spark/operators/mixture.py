@@ -47,22 +47,27 @@ def _key(id_col: str):
     return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
 
 
+def _when_chain(per_source: Dict[str, object], default, source_col: str):
+    """Fold a recipe into ONE column: start from the default, wrap
+    WHEN(source == key, value) in sorted key order. A NULL source
+    never equals any recipe key, so it falls through to the default —
+    this helper is the single place that convention lives (review
+    r06d: the fold was hand-rolled in four faces)."""
+    out = default
+    for src, v in sorted(per_source.items()):
+        out = F.when(F.col(source_col) == src, v).otherwise(out)
+    return out
+
+
 def _keep_predicate(weights: Dict[str, float], default_weight: float,
                     source_col: str, id_col: str):
-    """The shared keep column: a WHEN chain over the recipe. A NULL
-    source never equals any recipe key, so it falls through to the
-    default gate — the same convention in every face of the op."""
-    thresholds = {src: weight_threshold(w)
-                  for src, w in sorted(weights.items())}
-    default_thr = weight_threshold(default_weight)
-
+    """The shared keep column: a WHEN chain over the recipe."""
     def gate(thr: Optional[str]):
         return F.lit(True) if thr is None else _key(id_col) < F.lit(thr)
 
-    keep = gate(default_thr)
-    for src, thr in thresholds.items():
-        keep = F.when(F.col(source_col) == src, gate(thr)).otherwise(keep)
-    return keep
+    return _when_chain(
+        {src: gate(weight_threshold(w)) for src, w in weights.items()},
+        gate(weight_threshold(default_weight)), source_col)
 
 
 def mixture_sample(docs: DataFrame, weights: Dict[str, float], *,
@@ -90,12 +95,10 @@ def mixture_stats(docs: DataFrame, weights: Dict[str, float], *,
     aggregate left-joined back on source was both a second scan and a
     null-unsafe join — a NULL source group reported n_sampled=0 even
     when its docs survived under the default rate; review r06b)."""
-    req = {src: int(1000 * w) for src, w in weights.items()}
     keep = _keep_predicate(weights, default_weight, source_col, id_col)
-    req_col = F.lit(int(1000 * default_weight))
-    for src, r in sorted(req.items()):
-        req_col = F.when(F.col(source_col) == src, F.lit(r)) \
-            .otherwise(req_col)
+    req_col = _when_chain(
+        {src: F.lit(int(1000 * w)) for src, w in weights.items()},
+        F.lit(int(1000 * default_weight)), source_col)
     return (docs.groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(keep, 1).otherwise(0)).cast("bigint")
@@ -153,11 +156,10 @@ def quota_sample(docs: DataFrame, quotas: Dict[str, int], *,
     if not quotas and default_quota is None:
         return docs
 
-    quota_col = F.lit(default_quota) if default_quota is not None \
-        else F.lit(None).cast("int")
-    for src, q in sorted(quotas.items()):
-        quota_col = F.when(F.col(source_col) == src, F.lit(q)) \
-            .otherwise(quota_col)
+    quota_col = _when_chain(
+        {src: F.lit(q) for src, q in quotas.items()},
+        F.lit(default_quota) if default_quota is not None
+        else F.lit(None).cast("int"), source_col)
 
     from pyspark.sql import Window
     w = Window.partitionBy(source_col).orderBy(_key(id_col),
@@ -170,11 +172,15 @@ def quota_sample(docs: DataFrame, quotas: Dict[str, int], *,
     caps = list(quotas.values()) \
         + ([default_quota] if default_quota is not None else [])
     max_cap = max(caps) if caps else 0
+    # collision-safe working column (the input may carry '_rank')
+    rank_col = "_rank"
+    while rank_col in docs.columns:
+        rank_col += "_"
     kept = (capped
-            .withColumn("_rank", F.row_number().over(w))
-            .filter((F.col("_rank") <= F.lit(max_cap))
-                    & (F.col("_rank") <= quota_col))
-            .drop("_rank"))
+            .withColumn(rank_col, F.row_number().over(w))
+            .filter((F.col(rank_col) <= F.lit(max_cap))
+                    & (F.col(rank_col) <= quota_col))
+            .drop(rank_col))
     return free.unionByName(kept)
 
 
@@ -206,6 +212,9 @@ def epoch_upsample(docs: DataFrame, weights: Dict[str, float], *,
                              f"max_epochs={max_epochs}")
     if default_weight < 0 or default_weight > max_epochs:
         raise ValueError("default_weight out of [0, max_epochs]")
+    if "epoch" in docs.columns:
+        raise ValueError("input already has an 'epoch' column — "
+                         "epoch_upsample emits it as the copy index")
 
     # the fractional-epoch key is SALTED so it is independent of
     # mixture_sample's keep key (an unsalted key would correlate the
@@ -222,10 +231,9 @@ def epoch_upsample(docs: DataFrame, weights: Dict[str, float], *,
             n = n + F.when(salted < F.lit(thr), 1).otherwise(0)
         return n
 
-    n_col = n_epochs(default_weight)
-    for src, w in sorted(weights.items()):
-        n_col = F.when(F.col(source_col) == src, n_epochs(w)) \
-            .otherwise(n_col)
+    n_col = _when_chain(
+        {src: n_epochs(w) for src, w in weights.items()},
+        n_epochs(default_weight), source_col)
 
     epochs = F.when(n_col > 0,
                     F.sequence(F.lit(0), n_col - 1)) \

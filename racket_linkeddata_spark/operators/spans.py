@@ -73,6 +73,14 @@ def duplicate_spans(docs: DataFrame, L: int = 20, min_repeat: int = 2, *,
     ``[span_start, span_end)`` covered by L-token windows whose hash
     occurs >= ``min_repeat`` times corpus-wide, plus the window count
     behind each span — what span_dedup WOULD cut."""
+    if L < 1:
+        raise ValueError(f"window length L must be >= 1, got {L}")
+    if min_repeat < 2:
+        # min_repeat=1 marks EVERY window hot (count >= 1 always) and
+        # silently deletes the whole corpus — a recipe typo, not a plan
+        raise ValueError(
+            f"min_repeat must be >= 2 (1 would drop all text), "
+            f"got {min_repeat}")
     wins = _windows(docs, L, text_col, id_col)
 
     # persist: the probe count and the semi join both consume this
@@ -126,34 +134,44 @@ def span_dedup(docs: DataFrame, L: int = 20, min_repeat: int = 2, *,
     """The rewrite face: cut every duplicated span out of every
     document. Returns ``(id, text_dedup, n_tokens, n_dropped_tokens)``
     — one row per input document; tokens outside spans are
-    byte-preserved (split/rejoin on the literal space is lossless)."""
+    byte-preserved (split/rejoin on the literal space is lossless).
+
+    ``n_tokens`` counts SPLIT CELLS (consecutive spaces make empty
+    cells, and NULL/'' text counts 1) — the lossless-split unit the
+    span offsets are expressed in, not the quality_signals
+    nonempty-token count; n_dropped_tokens is in the same unit, so
+    kept-cell accounting always balances."""
     spans = duplicate_spans(docs, L, min_repeat,
                             text_col=text_col, id_col=id_col,
                             broadcast_threshold=broadcast_threshold,
                             stats_out=stats_out)
+    # collision-safe working column (the input may carry 'spans')
+    sp_col = "_dup_spans"
+    while sp_col in docs.columns:
+        sp_col += "_"
     per_doc = (spans
                .groupBy(id_col)
                .agg(F.collect_list(
-                   F.struct("span_start", "span_end")).alias("spans")))
+                   F.struct("span_start", "span_end")).alias(sp_col)))
 
     words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     kept = F.filter(
         words,
         lambda x, i: ~F.exists(
-            F.col("spans"),
+            F.col(sp_col),
             lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
     return (docs
             .join(per_doc, id_col, "left")
             .select(
                 id_col,
-                F.when(F.col("spans").isNull(),
+                F.when(F.col(sp_col).isNull(),
                        F.coalesce(F.col(text_col), F.lit("")))
                 .otherwise(F.array_join(kept, " "))
                 .alias("text_dedup"),
                 F.size(words).cast("bigint").alias("n_tokens"),
                 F.coalesce(
                     F.aggregate(
-                        "spans", F.lit(0).cast("bigint"),
+                        sp_col, F.lit(0).cast("bigint"),
                         lambda acc, s: acc + s["span_end"]
                         - s["span_start"]),
                     F.lit(0)).alias("n_dropped_tokens")))

@@ -241,3 +241,24 @@ def test_epoch_upsample_fraction_independent_of_mixture_key(spark):
              if r["epoch"] == 1}
     kept = {r["doc_id"] for r in mixture_sample(d, {"s0": 0.5}).collect()}
     assert extra != kept
+
+
+def test_quota_sample_rank_column_no_collision(spark):
+    from racket_linkeddata_spark.operators.mixture import quota_sample
+
+    rows = [(i, "s0", i * 10) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, _rank long")
+    out = quota_sample(d, {"s0": 3}).collect()
+    assert len(out) == 3
+    # the caller's _rank column survives untouched
+    assert all(r["_rank"] == r["doc_id"] * 10 for r in out)
+
+
+def test_epoch_upsample_rejects_epoch_column(spark):
+    import pytest as _pytest
+    from racket_linkeddata_spark.operators.mixture import epoch_upsample
+
+    d = spark.createDataFrame([(1, "s0", 0)],
+                              "doc_id long, source string, epoch int")
+    with _pytest.raises(ValueError):
+        epoch_upsample(d, {"s0": 2.0})

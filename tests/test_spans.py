@@ -88,3 +88,22 @@ def test_stats_out_and_dedup_consistency(spark):
             r["n_tokens"] - (len(r["text_dedup"].split(" "))
                              if r["text_dedup"] != "" else 0) \
             or r["text_dedup"] == ""
+
+
+def test_span_dedup_validates_degenerate_params(spark):
+    import pytest as _pytest
+    d = _corpus(spark)
+    with _pytest.raises(ValueError):
+        span_dedup(d, L=0)
+    with _pytest.raises(ValueError):
+        span_dedup(d, L=5, min_repeat=1)  # would drop ALL text
+    with _pytest.raises(ValueError):
+        duplicate_spans(d, L=-1)
+
+
+def test_span_dedup_input_spans_column_no_collision(spark):
+    rows = [(1, "prefix " + BOILER, "x"), (2, "other " + BOILER, "y")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, spans string")
+    out = span_dedup(d, L=5).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["n_dropped_tokens"] == 11 for r in out)
