@@ -1711,19 +1711,24 @@ def q_train_pack_greedy(spark, sf_dir):
                        _PACK_BUDGET, _PACK_SHARDS)
 
 
-def _oracle_packed_base(shards: int) -> str:
+def _oracle_packed_base(shards: int, toks_body: str | None = None) -> str:
     """Shared CTE prefix of the packing oracles: tokenize, md5 shard
     assignment (the same conv(substr(md5,1,15),16,10) <->
     CAST('0x'||... AS BIGINT) pair the minhash oracle pins), and the
     within-shard md5-order position. One copy so tokenization and the
-    permutation cannot drift between the three packing oracles."""
-    return f"""toks AS (
-  SELECT doc_id,
+    permutation cannot drift between the packing oracles.
+    ``toks_body`` overrides the (doc_id, key, n_tokens) source — the
+    prep-packed capstone feeds the PREP SURVIVORS' BPE token counts
+    instead of the raw-corpus whitespace counts."""
+    if toks_body is None:
+        toks_body = """SELECT doc_id,
          md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS key,
          CAST(len(list_filter(
              regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
              x -> x <> '')) AS BIGINT) AS n_tokens
-  FROM documents),
+  FROM documents"""
+    return f"""toks AS (
+  {toks_body}),
 sh AS (
   SELECT doc_id, key, n_tokens,
          CAST(('0x' || substr(key, 1, 15)) AS BIGINT) % {shards} AS shard
@@ -1932,6 +1937,42 @@ _EPOCH_RECIPE = {"src0": 2.5, "src1": 0.25, "src2": 3.0}
 _EPOCH_DEFAULT = 1.0
 
 
+_PREP_PACK_BUDGET = 512
+_PREP_PACK_SHARDS = 4
+
+
+def q_train_prep_packed(spark, sf_dir):
+    """The CAPSTONE composition: training_data_prep's survivors
+    (dedup -> quality -> decontam -> mixture -> lang/BPE pricing)
+    packed into fixed-budget training sequences BY THEIR BPE TOKEN
+    COUNT — raw crawl in, shard/sequence placement out. One extra
+    window shuffle on top of the prep plan."""
+    from racket_linkeddata_spark.operators.packing import pack_offsets
+
+    prep = q_training_data_prep(spark, sf_dir).select(
+        "doc_id", "n_tokens")
+    return pack_offsets(prep, _PREP_PACK_BUDGET, _PREP_PACK_SHARDS)
+
+
+def _oracle_prep_packed() -> str:
+    toks = ("SELECT doc_id,\n"
+            "         md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS key,\n"
+            "         CAST(n_tokens AS BIGINT) AS n_tokens\n"
+            "  FROM prep")
+    return f"""
+WITH prep AS ({_oracle_training_data_prep()}),
+{_oracle_packed_base(_PREP_PACK_SHARDS, toks)}
+SELECT doc_id, shard, pos, n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST(end_off AS BIGINT) AS end_off,
+       CAST((end_off - n_tokens) // {_PREP_PACK_BUDGET} AS BIGINT)
+         AS first_seq,
+       CAST(greatest(end_off - 1, end_off - n_tokens)
+            // {_PREP_PACK_BUDGET} AS BIGINT) AS last_seq
+FROM base
+"""
+
+
 def q_text_epoch_upsample(spark, sf_dir):
     """Epoch up-sampling (the w > 1 half of the mixture recipe —
     "books x2.4 epochs"): floor(w) copies + a salted-md5 fractional
@@ -2078,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
+        "train_prep_packed": q_train_prep_packed,
         "dedup_span_stats": q_dedup_span_stats,
     }
 
@@ -2482,5 +2524,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),
+        "train_prep_packed": _oracle_prep_packed(),
         "dedup_span_stats": _ORACLE_DEDUP_SPAN_STATS,
     }

@@ -120,7 +120,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
     for name in ["kg_triples", "kg_edges", "kg_page_log", "kg_rdfa",
                  "kg_microdata",
                  "dedup_minhash_lsh", "dedup_text_pipeline",
-                 "training_data_prep",
+                 "training_data_prep", "train_prep_packed",
                  "dedup_url_canonical",
                  "dedup_ngram_jaccard", "dedup_paragraphs",
                  "dedup_passage_stats",
