@@ -1903,6 +1903,41 @@ FROM aug a LEFT JOIN sp USING (doc_id)
 """
 
 
+def q_text_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (the canonicalization step before any
+    hash dedup — NFC vs NFD text hashes differently). The corpus is
+    ASCII, so a third of the docs get a planted decomposed sequence
+    ('e' + COMBINING ACUTE) appended to make the query non-vacuous;
+    norm_changed flags exactly those. Arrow UDF over stdlib
+    unicodedata; DuckDB's utf8proc nfc_normalize is the oracle (both
+    UAX#15 — divergence bound documented in operators/unicode_norm)."""
+    from racket_linkeddata_spark.operators.unicode_norm import (
+        normalize_text)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        # e + COMBINING ACUTE (decomposed on purpose)
+                        F.lit(" Cafe\u0301")))
+        .otherwise(F.col("text")).alias("text"))
+    return normalize_text(d)
+
+
+_ORACLE_NFC_NORMALIZE = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN coalesce(text, '') || ' Cafe' || chr(769)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id, nfc_normalize(text) AS text,
+       coalesce(text IS DISTINCT FROM nfc_normalize(text), false)
+         AS norm_changed
+FROM aug
+"""
+
+
 _QUOTA_RECIPE = {"src0": 10, "src1": 3, "src2": 0}
 _QUOTA_DEFAULT = 7
 
@@ -2120,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
         "train_prep_packed": q_train_prep_packed,
+        "text_nfc_normalize": q_text_nfc_normalize,
         "dedup_span_stats": q_dedup_span_stats,
     }
 
@@ -2525,5 +2561,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),
         "train_prep_packed": _oracle_prep_packed(),
+        "text_nfc_normalize": _ORACLE_NFC_NORMALIZE,
         "dedup_span_stats": _ORACLE_DEDUP_SPAN_STATS,
     }

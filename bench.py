@@ -134,6 +134,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_quota_sample",
+                 "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans",
                  "multimodal_frames", "tpch_q1", "tpch_join",

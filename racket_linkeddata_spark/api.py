@@ -75,6 +75,7 @@ def _lazy_spark():
     )
     from .operators.paragraphs import paragraph_dedup, passage_counts
     from .operators.spans import duplicate_spans, span_dedup
+    from .operators.unicode_norm import normalize_text
     from .operators.textstats import quality_gate, quality_signals
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
@@ -101,7 +102,7 @@ def __getattr__(name):
                  "repetition_stats", "redact_pii",
                  "kmeans_centroids", "read_warc_stream",
                  "paragraph_dedup", "passage_counts",
-                 "duplicate_spans", "span_dedup",
+                 "duplicate_spans", "span_dedup", "normalize_text", "normalize_text",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
                  "mixture_sample", "mixture_stats", "quota_sample",
@@ -130,7 +131,7 @@ __all__ = [
     "repetition_stats", "redact_pii",
     "kmeans_centroids", "read_warc_stream",
     "paragraph_dedup", "passage_counts",
-    "duplicate_spans", "span_dedup",
+    "duplicate_spans", "span_dedup", "normalize_text",
     "quality_signals", "quality_gate",
     "contamination_stats", "decontaminate",
     "mixture_sample", "mixture_stats", "quota_sample",
