@@ -271,3 +271,13 @@ def test_span_dedup_plan_shape(spark):
     agg_exchange = [seg for seg in p.split("Exchange")
                     if seg.startswith(" hashpartitioning(whash")]
     assert agg_exchange, p[:800]
+
+
+def test_nfc_normalize_map_only(spark):
+    """normalize_text: one Arrow UDF stage, map-only — no
+    join/aggregate/sort/window/generate, at most the parallelism-floor
+    exchange."""
+    p = _plan(em.q_text_nfc_normalize(spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    for node in ("Join", "HashAggregate", "Sort", "Window", "Generate"):
+        assert node not in p, (node, p[:500])
