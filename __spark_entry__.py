@@ -1742,15 +1742,22 @@ base AS (
   FROM sh)"""
 
 
-_ORACLE_PACK_OFFSETS = f"""
-WITH {_oracle_packed_base(_PACK_SHARDS)}
-SELECT doc_id, shard, pos, n_tokens,
+def _oracle_pack_select(budget: int) -> str:
+    """The pack_offsets projection tail over the ``base`` CTE — one
+    copy (shared with the prep-packed capstone) so the non-obvious
+    last_seq formula cannot drift between the two oracles."""
+    return f"""SELECT doc_id, shard, pos, n_tokens,
        CAST(end_off - n_tokens AS BIGINT) AS start_off,
        CAST(end_off AS BIGINT) AS end_off,
-       CAST((end_off - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
-       CAST(greatest(end_off - 1, end_off - n_tokens) // {_PACK_BUDGET}
+       CAST((end_off - n_tokens) // {budget} AS BIGINT) AS first_seq,
+       CAST(greatest(end_off - 1, end_off - n_tokens) // {budget}
             AS BIGINT) AS last_seq
-FROM base
+FROM base"""
+
+
+_ORACLE_PACK_OFFSETS = f"""
+WITH {_oracle_packed_base(_PACK_SHARDS)}
+{_oracle_pack_select(_PACK_BUDGET)}
 """
 
 
@@ -1997,14 +2004,7 @@ def _oracle_prep_packed() -> str:
     return f"""
 WITH prep AS ({_oracle_training_data_prep()}),
 {_oracle_packed_base(_PREP_PACK_SHARDS, toks)}
-SELECT doc_id, shard, pos, n_tokens,
-       CAST(end_off - n_tokens AS BIGINT) AS start_off,
-       CAST(end_off AS BIGINT) AS end_off,
-       CAST((end_off - n_tokens) // {_PREP_PACK_BUDGET} AS BIGINT)
-         AS first_seq,
-       CAST(greatest(end_off - 1, end_off - n_tokens)
-            // {_PREP_PACK_BUDGET} AS BIGINT) AS last_seq
-FROM base
+{_oracle_pack_select(_PREP_PACK_BUDGET)}
 """
 
 

@@ -102,7 +102,7 @@ def __getattr__(name):
                  "repetition_stats", "redact_pii",
                  "kmeans_centroids", "read_warc_stream",
                  "paragraph_dedup", "passage_counts",
-                 "duplicate_spans", "span_dedup", "normalize_text", "normalize_text",
+                 "duplicate_spans", "span_dedup", "normalize_text",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
                  "mixture_sample", "mixture_stats", "quota_sample",

@@ -38,8 +38,9 @@ _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
 def _normalizer(form: str):
     @pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: unicodedata.normalize(form, x)
-                     if x is not None else None)
+        # Series.str.normalize: unicodedata.normalize per element with
+        # built-in NA passthrough
+        return s.str.normalize(form)
     return norm
 
 
@@ -54,10 +55,14 @@ def normalize_text(docs: DataFrame, form: str = "NFC", *,
     if "norm_changed" in docs.columns:
         raise ValueError("input already has a 'norm_changed' column — "
                          "normalize_text emits it")
+    # collision-safe working column (the input may carry '_norm')
+    tmp = "_norm"
+    while tmp in docs.columns:
+        tmp += "_"
     norm = _normalizer(form)(F.col(text_col))
     return (docs
-            .withColumn("_norm", norm)
+            .withColumn(tmp, norm)
             .withColumn("norm_changed",
-                        ~F.col(text_col).eqNullSafe(F.col("_norm")))
-            .withColumn(text_col, F.col("_norm"))
-            .drop("_norm"))
+                        ~F.col(text_col).eqNullSafe(F.col(tmp)))
+            .withColumn(text_col, F.col(tmp))
+            .drop(tmp))

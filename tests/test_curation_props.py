@@ -2,7 +2,7 @@
 operators — randomized corpora, few examples (each example is a Spark
 job), deadline off for the co-tenant host."""
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from racket_linkeddata_spark.operators.mixture import (
     mixture_sample, mixture_stats)
@@ -10,8 +10,9 @@ from racket_linkeddata_spark.operators.packing import (
     pack_greedy, pack_offsets)
 from racket_linkeddata_spark.operators.spans import span_dedup
 
-_SETTINGS = dict(max_examples=8, deadline=None,
-                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+# the spark fixture is session-scoped, so no fixture health check
+# suppression is needed
+_SETTINGS = dict(max_examples=8, deadline=None)
 
 words = st.lists(
     st.sampled_from("alpha beta gamma delta epsilon zeta eta theta iota "
