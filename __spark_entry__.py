@@ -1515,73 +1515,13 @@ def q_training_data_prep(spark, sf_dir):
     Returns (doc_id, lang, n_tokens) for the documents a training run
     would keep. Oracle: the composed DuckDB replica stitched from the
     per-operator replicas, value-hash exact."""
-    from racket_linkeddata_spark.operators.bpe import bpe_token_count
-    from racket_linkeddata_spark.operators.graph import dedup_keepers
-    from racket_linkeddata_spark.operators.decontam import decontaminate
-    from racket_linkeddata_spark.operators.langid import lang_id_model
-    from racket_linkeddata_spark.operators.mixture import mixture_sample
-    from racket_linkeddata_spark.operators.textstats import (
-        minhash_lsh_candidates, quality_gate, shingles)
+    from racket_linkeddata_spark.plans.curation import prep_corpus
 
     d = _docs(spark, sf_dir)
-    # stage 1: exact dedup — one map-side-combinable aggregate on the
-    # text hash, survivors rejoined by id
-    keep1 = (d.select("doc_id", F.md5("text").alias("th"))
-             .groupBy("th").agg(F.min("doc_id").alias("doc_id"))
-             .select("doc_id"))
-    surv = (d.join(keep1, "doc_id")
-            .localCheckpoint(eager=False))  # consumed by 3 stages
-
-    # stage 2: near-dup (same shape as q_dedup_text_pipeline, scoped
-    # to exact-dedup survivors)
-    cand = minhash_lsh_candidates(surv, n=3, k=16,
-                                  bands=4).localCheckpoint(eager=False)
-    cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-                .distinct())
-    cd = surv.join(cand_ids, "doc_id")
-    sh = (cd.select("doc_id", shingles(cd, 3).alias("sh"))
-          .localCheckpoint(eager=False))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
-           / F.size(F.array_union("sh_a", "sh_b")))
-    verified = (cand.join(a, "doc_a").join(b, "doc_b")
-                .filter(F.size("sh_a") > 0)
-                .filter(F.round(jac, 4) >= 0.5)
-                .select("doc_a", "doc_b"))
-    kept = (dedup_keepers(verified, surv.select("doc_id"))
-            .filter("keep").select("doc_id"))
-
-    # stage 3: the composed quality gate (full signal set; fixed-point,
-    # exactly SQL-replicable — the per-signal arithmetic lives in
-    # textstats.quality_signals)
-    # pinned: consumed twice by decontaminate (gram explode + the
-    # survivor anti-join) — without the pin the whole quality-signal
-    # tree re-evaluates per branch (review r06b)
-    gated = quality_gate(
-        surv.join(kept, "doc_id").select("doc_id", "text", "source"),
-        min_tokens=5, max_tokens=100_000,
-        min_mean_word_len_x1000=2000, max_mean_word_len_x1000=20_000,
-        min_stopwords=1, max_symbol_x1000=100,
-        max_bullet_x1000=900, max_ellipsis_x1000=300) \
-        .localCheckpoint(eager=False)
-
-    # stage 4: benchmark decontamination (broadcast gram probe — the
-    # same planted benchmark as text_decontaminate)
+    # the planted benchmark: docs 0-19 (same as text_decontaminate)
     bench = d.filter(F.col("doc_id") < 20).select("text")
-    clean = decontaminate(gated, bench, n=8)
-
-    # stage 5: deterministic mixture sampling (md5-threshold compare —
-    # same recipe machinery as text_mixture_stats); pinned: stage 6
-    # fans it out to three branches
-    mixed = mixture_sample(clean, _PREP_MIXTURE, default_weight=1.0) \
-        .localCheckpoint(eager=False)
-
-    # stage 6: annotate survivors — both map-only ops
-    lang = lang_id_model(mixed).select("doc_id", "lang")
-    bpe = bpe_token_count(mixed, [("t", "h"), ("th", "e")])
-    return mixed.select("doc_id").join(lang, "doc_id").join(bpe, "doc_id")
+    return prep_corpus(d, benchmark=bench,
+                       mixture_weights=_PREP_MIXTURE, default_weight=1.0)
 
 
 def _oracle_training_data_prep() -> str:
