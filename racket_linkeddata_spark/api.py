@@ -77,6 +77,7 @@ def _lazy_spark():
     from .operators.spans import duplicate_spans, span_dedup
     from .operators.unicode_norm import normalize_text
     from .operators.textstats import quality_gate, quality_signals
+    from .plans.curation import prep_corpus
     from .plans.kg import build_kg, session
     from .sources.nquads_io import read_nquads, write_nquads
     from .sources.pages import synthesize_pages
@@ -108,7 +109,8 @@ def __getattr__(name):
                  "mixture_sample", "mixture_stats", "quota_sample",
                  "epoch_upsample",
                  "shuffle_shards", "pack_offsets", "packing_stats",
-                 "pack_greedy", "token_counts", "word_surprisal")
+                 "pack_greedy", "token_counts", "word_surprisal",
+                 "prep_corpus")
     if name in spark_api:
         return _lazy_spark()[name]
     raise AttributeError(name)
@@ -138,4 +140,5 @@ __all__ = [
     "epoch_upsample",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
+    "prep_corpus",
 ]
