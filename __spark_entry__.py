@@ -1209,6 +1209,105 @@ def _oracle_ivf_kmeans(nprobe: int = 3, k: int = 5) -> str:
         WHERE rank <= {k}"""
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq.py) — the
+    memory-side ANN scale path next to IVF's pruning: 8 subspaces x 16
+    codes, integer quantization (floor(x*1024) — power-of-two scaling
+    is float-exact in both engines), data-derived md5-sample codebook,
+    all-integer ADC distances.  Value-exact vs the DuckDB replica at
+    any sf by construction."""
+    from racket_linkeddata_spark.operators.pq import pq_topk
+
+    e = _emb(spark, sf_dir)
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), 5)
+
+
+def _pq_common_sql(m: int = 8, dsub: int = 8, k: int = 16,
+                   scale: int = 1024) -> str:
+    """Shared CTE prefix for the PQ oracles: quantized corpus, the
+    md5-sample codebook (code id = sample position), per-subspace
+    slices, and the integer-argmin encoding — the exact rules of
+    operators/pq.py (lowest-code tie-break == numpy argmin
+    first-occurrence)."""
+    return f"""
+        eq AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {scale}.0) AS BIGINT))
+                   AS q
+          FROM embeddings),
+        samp AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cid, q
+          FROM eq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k}),
+        cb AS (
+          SELECT m, cid, q[{dsub}*m + 1 : {dsub}*m + {dsub}] AS cvec
+          FROM samp, (SELECT unnest(range({m})) AS m)),
+        esub AS (
+          SELECT vec_id, m, q[{dsub}*m + 1 : {dsub}*m + {dsub}] AS sv
+          FROM eq, (SELECT unnest(range({m})) AS m)),
+        enc AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT esub.vec_id, esub.m, cb.cid,
+                   row_number() OVER (PARTITION BY esub.vec_id, esub.m
+                     ORDER BY CAST(list_sum(list_transform(
+                       range(1, {dsub}+1),
+                       i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])))
+                       AS BIGINT), cb.cid) AS rn
+            FROM esub JOIN cb USING (m)) WHERE rn = 1)"""
+
+
+def _oracle_pq_topk(m: int = 8, dsub: int = 8, k: int = 16,
+                    scale: int = 1024, topk: int = 5) -> str:
+    """DuckDB replica of q_ann_pq_topk: same quantization, codebook
+    sample, encode argmin, integer ADC sum and (distance, item_id)
+    top-k tie-break as operators/pq.py — exact because every distance
+    is a BIGINT."""
+    return f"""
+        WITH {_pq_common_sql(m, dsub, k, scale)},
+        qsub AS (
+          SELECT vec_id AS query_id, m,
+                 q[{dsub}*m + 1 : {dsub}*m + {dsub}] AS sv
+          FROM eq, (SELECT unnest(range({m})) AS m) WHERE vec_id < 5),
+        pdist AS (
+          SELECT query_id, m, cid AS code,
+                 CAST(list_sum(list_transform(range(1, {dsub}+1),
+                   i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])))
+                   AS BIGINT) AS pd
+          FROM qsub JOIN cb USING (m)),
+        adist AS (
+          SELECT query_id, vec_id AS item_id,
+                 CAST(sum(pd) AS BIGINT) AS approx_l2sq
+          FROM enc JOIN pdist USING (m, code)
+          WHERE query_id != vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, item_id, approx_l2sq, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_l2sq, item_id) AS rank FROM adist)
+        WHERE rank <= {topk}"""
+
+
+def q_pq_code_stats(spark, sf_dir):
+    """PQ codebook-occupancy observability (the lsh_bucket_stats
+    analogue): items per (subspace, code).  Dead or corpus-swallowing
+    codewords are the failure mode to watch before trusting PQ recall
+    at a new scale."""
+    from racket_linkeddata_spark.operators.pq import pq_code_stats
+
+    return pq_code_stats(_emb(spark, sf_dir))
+
+
+def _oracle_pq_code_stats(m: int = 8, dsub: int = 8, k: int = 16,
+                          scale: int = 1024) -> str:
+    return f"""
+        WITH {_pq_common_sql(m, dsub, k, scale)}
+        SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code,
+               count(*) AS n_items
+        FROM enc GROUP BY 1, 2"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup — exact baseline (the dedup-family
     analogue of ann_cosine_threshold; the scale path is the LSH variant
@@ -2072,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_pq_topk": q_ann_pq_topk,
+        "pq_code_stats": q_pq_code_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "jsonld_expand_docs": q_jsonld_expand_docs,
@@ -2418,6 +2519,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ivf_topk(),
         "ann_ivf_kmeans": _oracle_ivf_kmeans(),
+        "ann_pq_topk": _oracle_pq_topk(),
+        "pq_code_stats": _oracle_pq_code_stats(),
         "text_langid_model": _oracle_langid_model(),
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),

@@ -50,6 +50,7 @@ def _lazy_spark():
         kmeans_centroids,
         lsh_topk,
     )
+    from .operators.pq import pq_code_stats, pq_encode, pq_topk
     from .operators.skew import salted_agg
     from .operators.urlnorm import canonical_url, dedup_by_canonical_url
     from .operators.textstats import (
@@ -102,6 +103,7 @@ def __getattr__(name):
                  "bpe_token_count", "bpe_encode", "train_bpe",
                  "repetition_stats", "redact_pii",
                  "kmeans_centroids", "read_warc_stream",
+                 "pq_encode", "pq_topk", "pq_code_stats",
                  "paragraph_dedup", "passage_counts",
                  "duplicate_spans", "span_dedup", "normalize_text",
                  "quality_signals", "quality_gate",

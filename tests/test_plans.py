@@ -281,3 +281,25 @@ def test_nfc_normalize_map_only(spark):
     assert p.count("ArrowEvalPython") == 1
     for node in ("Join", "HashAggregate", "Sort", "Window", "Generate"):
         assert node not in p, (node, p[:500])
+
+
+def test_pq_plans_single_encode_stage(spark):
+    """PQ ADC (operators/pq.py): the encode UDF must run EXACTLY ONCE
+    (posexplode_outer keeps InferFiltersFromGenerate from sinking a
+    size()-filter below the parallelism exchange and re-running the
+    UDF — measured two ArrowEvalPython stages with the inner
+    generator); the partial-distance side rides broadcast joins; the
+    ADC sum is a map-side-combinable partial_sum; the per-query top-k
+    is a WindowGroupLimit (partial before the exchange), never a full
+    sort of the scored table."""
+    p = _plan(em.q_ann_pq_topk(spark, SF))
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "partial_sum" in p
+    assert "WindowGroupLimit" in p
+
+    p = _plan(em.q_pq_code_stats(spark, SF))
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "partial_count" in p
+    assert "Join" not in p
