@@ -1289,6 +1289,102 @@ def _oracle_pq_topk(m: int = 8, dsub: int = 8, k: int = 16,
         WHERE rank <= {topk}"""
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composition (operators/pq.py ivf_pq_topk) — the FAISS
+    IVFPQ arrangement: md5-sampled coarse cells prune the scan to
+    nprobe/n_cells of the corpus, salted-sample RESIDUAL codebook, and
+    an all-integer ADC over (cell, m, code) — exact in both engines,
+    including the residual identity ||(q-c)-(v-c)||^2 == ||q-v||^2
+    that the full-probe/full-codebook limit test pins."""
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    e = _emb(spark, sf_dir)
+    return ivf_pq_topk(e, e.filter(F.col("vec_id") < 5), 5)
+
+
+def _oracle_ivf_pq_topk(n_cells: int = 8, nprobe: int = 3, m: int = 8,
+                        dsub: int = 8, k: int = 16, scale: int = 1024,
+                        topk: int = 5, dim: int = 64) -> str:
+    """DuckDB replica of q_ann_ivf_pq_topk: md5-sample cells, integer
+    argmin assignment + residuals, 'cb'-salted residual codebook,
+    per-(query, probed-cell) residual distance tables, integer ADC sum,
+    (distance, item_id) top-k — every number a BIGINT."""
+    def l2(a, b, n):
+        return (f"CAST(list_sum(list_transform(range(1, {n}+1), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)")
+
+    return f"""
+        WITH eq AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * {scale}.0) AS BIGINT))
+                   AS q
+          FROM embeddings),
+        cent AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cellid, q AS cv
+          FROM eq ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}),
+        assign AS (
+          SELECT vec_id, cellid AS cell,
+                 list_transform(range(1, {dim}+1), i -> q[i] - cv[i])
+                   AS resid
+          FROM (
+            SELECT eq.vec_id, cent.cellid, eq.q, cent.cv,
+                   row_number() OVER (PARTITION BY eq.vec_id
+                     ORDER BY {l2('q', 'cv', dim)}, cent.cellid) AS rn
+            FROM eq CROSS JOIN cent) WHERE rn = 1),
+        cbsamp AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(a.vec_id AS VARCHAR) || 'cb'),
+                            a.vec_id) - 1 AS cid, a.resid
+          FROM assign a
+          ORDER BY md5(CAST(a.vec_id AS VARCHAR) || 'cb'), a.vec_id
+          LIMIT {k}),
+        cb AS (
+          SELECT m, cid, resid[{dsub}*m + 1 : {dsub}*m + {dsub}] AS cvec
+          FROM cbsamp, (SELECT unnest(range({m})) AS m)),
+        esub AS (
+          SELECT vec_id, cell, m,
+                 resid[{dsub}*m + 1 : {dsub}*m + {dsub}] AS sv
+          FROM assign, (SELECT unnest(range({m})) AS m)),
+        enc AS (
+          SELECT vec_id, cell, m, cid AS code FROM (
+            SELECT esub.vec_id, esub.cell, esub.m, cb.cid,
+                   row_number() OVER (PARTITION BY esub.vec_id, esub.m
+                     ORDER BY {l2('sv', 'cvec', dsub)}, cb.cid) AS rn
+            FROM esub JOIN cb USING (m)) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cellid AS cell,
+                 list_transform(range(1, {dim}+1), i -> q[i] - cv[i])
+                   AS qresid
+          FROM (
+            SELECT eq.vec_id, cent.cellid, eq.q, cent.cv,
+                   row_number() OVER (PARTITION BY eq.vec_id
+                     ORDER BY {l2('q', 'cv', dim)}, cent.cellid) AS rn
+            FROM eq CROSS JOIN cent WHERE eq.vec_id < 5)
+          WHERE rn <= {nprobe}),
+        qsub AS (
+          SELECT query_id, cell, m,
+                 qresid[{dsub}*m + 1 : {dsub}*m + {dsub}] AS sv
+          FROM probes, (SELECT unnest(range({m})) AS m)),
+        pdist AS (
+          SELECT query_id, cell, m, cid AS code,
+                 {l2('sv', 'cvec', dsub)} AS pd
+          FROM qsub JOIN cb USING (m)),
+        adist AS (
+          SELECT query_id, vec_id AS item_id,
+                 CAST(sum(pd) AS BIGINT) AS approx_l2sq
+          FROM enc JOIN pdist USING (cell, m, code)
+          WHERE query_id != vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, item_id, approx_l2sq, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_l2sq, item_id) AS rank FROM adist)
+        WHERE rank <= {topk}"""
+
+
 def q_pq_code_stats(spark, sf_dir):
     """PQ codebook-occupancy observability (the lsh_bucket_stats
     analogue): items per (subspace, code).  Dead or corpus-swallowing
@@ -2172,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "pq_code_stats": q_pq_code_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2520,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ivf_topk(),
         "ann_ivf_kmeans": _oracle_ivf_kmeans(),
         "ann_pq_topk": _oracle_pq_topk(),
+        "ann_ivf_pq_topk": _oracle_ivf_pq_topk(),
         "pq_code_stats": _oracle_pq_code_stats(),
         "text_langid_model": _oracle_langid_model(),
         "training_data_prep": _oracle_training_data_prep(),

@@ -137,6 +137,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",
+                 "ann_ivf_pq_topk",
                  "multimodal_frames", "tpch_q1", "tpch_join",
                  "events_window"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())

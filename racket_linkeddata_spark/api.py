@@ -50,7 +50,12 @@ def _lazy_spark():
         kmeans_centroids,
         lsh_topk,
     )
-    from .operators.pq import pq_code_stats, pq_encode, pq_topk
+    from .operators.pq import (
+        ivf_pq_topk,
+        pq_code_stats,
+        pq_encode,
+        pq_topk,
+    )
     from .operators.skew import salted_agg
     from .operators.urlnorm import canonical_url, dedup_by_canonical_url
     from .operators.textstats import (
@@ -103,7 +108,7 @@ def __getattr__(name):
                  "bpe_token_count", "bpe_encode", "train_bpe",
                  "repetition_stats", "redact_pii",
                  "kmeans_centroids", "read_warc_stream",
-                 "pq_encode", "pq_topk", "pq_code_stats",
+                 "pq_encode", "pq_topk", "pq_code_stats", "ivf_pq_topk",
                  "paragraph_dedup", "passage_counts",
                  "duplicate_spans", "span_dedup", "normalize_text",
                  "quality_signals", "quality_gate",

@@ -252,3 +252,154 @@ def pq_code_stats(embeddings: DataFrame, *, m: int = 8, k: int = 16,
             .groupBy("m", "code")
             .agg(F.count(F.lit(1)).alias("n_items"))
             .orderBy("m", "code"))
+
+
+def _int_l2(a, b):
+    """Integer squared L2 between two array<bigint> columns — exact in
+    every engine (the whole point of the quantization)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _salted_sample(embeddings: DataFrame, k: int, salt: str,
+                   id_col: str, vec_col: str):
+    """md5(id || salt)-ordered first-k rows as [(id, float64 vec)].
+    The salt decorrelates the codebook sample from the centroid sample
+    (same rule, different order); bounded collect BY CONSTRUCTION."""
+    rows = (embeddings
+            .select(F.col(id_col).cast("long").alias("i"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.concat(F.col("i").cast("string"),
+                                    F.lit(salt))), "i")
+            .limit(k).collect())
+    return [(r["i"], r["v"]) for r in rows]
+
+
+def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame,
+                topk: int = 5, *, n_cells: int = 8, nprobe: int = 3,
+                m: int = 8, k: int = 16, scale: int = DEFAULT_SCALE,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the composition of the two ANN scale paths (the FAISS
+    IVFPQ arrangement) — IVF prunes WHICH items a query scans
+    (nprobe of n_cells), PQ shrinks WHAT is scanned (m residual codes
+    per item, never the float vector).
+
+    Residual encoding, exactly: each vector's PQ codes quantize
+    ``v - centroid(cell(v))``, all in integers, so the classic limit
+    identity holds EXACTLY here: with a codeword per corpus residual
+    (k = N, m = 1) and a full probe (nprobe = n_cells), the ADC
+    distance for an item in cell c is ||(q-c) - (v-c)||^2 = ||q-v||^2
+    — integer brute force (pinned in tests/test_pq.py).
+
+    Layout mirrors a real deployment: the coarse quantizer is the
+    md5-sample of ``n_cells`` corpus vectors; the residual codebook is
+    a 'cb'-salted md5-sample of ``k`` residuals (salted so the two
+    samples decorrelate); both driver collects are bounded BY
+    CONSTRUCTION.  Corpus side: ONE Arrow stage emits (cell, codes);
+    the scan that follows carries ints only.  Query side: pure column
+    algebra — probe cells and per-(query, cell) residual distance
+    tables ride broadcast joins (Q * nprobe * m * k rows).  Scoring
+    joins on (cell, m, code), so candidates are restricted to probed
+    cells by the join key itself — no separate pruning pass."""
+    cent = np.floor(
+        np.asarray([v for _, v in
+                    _salted_sample(embeddings, n_cells, "", id_col,
+                                   vec_col)], dtype=np.float64)
+        * scale).astype(np.int64)
+    if cent.size == 0:
+        raise ValueError("ivf_pq: empty corpus — cannot sample cells")
+    dim = cent.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"ivf_pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_cells = cent.shape[0]  # may be < requested on a tiny corpus
+
+    def _assign(q: np.ndarray):
+        """cells + residuals for quantized rows (B, dim): integer-L2
+        argmin (first occurrence == lowest cell id)."""
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = np.argmin(d, axis=1)
+        return cells, q - cent[cells]
+
+    # residual codebook: the salted sample's residuals, same assign rule
+    samp = _salted_sample(embeddings, k, "cb", id_col, vec_col)
+    sq = np.floor(np.asarray([v for _, v in samp], dtype=np.float64)
+                  * scale).astype(np.int64)
+    _, sres = _assign(sq)
+    cb = sres.reshape(sres.shape[0], m, dsub).transpose(1, 0, 2).copy()
+
+    def encode_rows(batches):
+        """mapInPandas encoder emitting the exploded (item_id, cell, m,
+        code) rows directly — deliberately OPAQUE to the optimizer: a
+        struct-returning pandas_udf here gets re-evaluated below the
+        parallelism exchange when the join's inferred isnotnull(cell)
+        filter is pushed down (measured: two ArrowEvalPython stages of
+        the same matmul).  mapInPandas admits no pushdown, and emitting
+        rows from Python also removes the Generate — this IS the
+        materialization boundary a real deployment persists."""
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.floor(np.asarray(pdf["v"].tolist(), dtype=np.float64)
+                         * scale).astype(np.int64)
+            if q.shape[1] != dim:
+                raise ValueError(
+                    f"ivf_pq: vector dim {q.shape[1]} != cell dim {dim}")
+            cells, res = _assign(q)
+            sub = res.reshape(q.shape[0], m, dsub)
+            codes_mat = np.empty((q.shape[0], m), dtype=np.int32)
+            for mi in range(m):
+                d = sub[:, mi, None, :] - cb[mi][None, :, :]
+                codes_mat[:, mi] = np.argmin((d * d).sum(axis=2), axis=1)
+            yield pd.DataFrame({
+                "item_id": np.repeat(pdf["i"].to_numpy(), m),
+                "cell": np.repeat(cells.astype(np.int32), m),
+                "m": np.tile(np.arange(m, dtype=np.int32), q.shape[0]),
+                "code": codes_mat.ravel()})
+
+    from .util import ensure_parallelism
+    codes = (ensure_parallelism(embeddings)
+             .select(F.col(id_col).cast("long").alias("i"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+             .mapInPandas(encode_rows,
+                          "item_id long, cell int, m int, code int"))
+
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, [int(x) for x in cent[ci]]) for ci in range(n_cells)],
+        "cell int, centvec array<bigint>")
+    cb_df = _codebook_df(spark, cb)
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _quantize_col(vec_col, scale).alias("qq"))
+    from pyspark.sql.window import Window
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("cd"), F.asc("cell"))
+    probes = (q.join(F.broadcast(cent_df))
+              .select("query_id", "cell", "qq", "centvec",
+                      _int_l2(F.col("qq"), F.col("centvec")).alias("cd"))
+              .withColumn("crn", F.row_number().over(wc))
+              .filter(F.col("crn") <= nprobe)
+              .select("query_id", "cell",
+                      F.zip_with("qq", "centvec",
+                                 lambda a, b: a - b).alias("qresid")))
+    qsub = probes.select(
+        "query_id", "cell",
+        F.posexplode(F.array(*[
+            F.slice("qresid", mi * dsub + 1, dsub) for mi in range(m)
+        ])).alias("m", "sv"))
+    pdist = (qsub.join(F.broadcast(cb_df), "m")
+             .select("query_id", "cell", "m", "code",
+                     _int_l2(F.col("sv"), F.col("cvec")).alias("pd")))
+
+    scored = (codes.join(F.broadcast(pdist), ["cell", "m", "code"])
+              .filter(F.col("query_id") != F.col("item_id"))
+              .groupBy("query_id", "item_id")
+              .agg(F.sum("pd").alias("approx_l2sq")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2sq"), F.asc("item_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk))

@@ -303,3 +303,17 @@ def test_pq_plans_single_encode_stage(spark):
     assert p.count("ArrowEvalPython") == 1, p
     assert "partial_count" in p
     assert "Join" not in p
+
+
+def test_ivf_pq_plan_shape(spark):
+    """IVF-PQ: the corpus encode is ONE opaque MapInPandas stage (a
+    struct pandas_udf gets re-run below the parallelism exchange when
+    the join's inferred isnotnull(cell) filter pushes down — measured);
+    candidates are pruned by the (cell, m, code) broadcast equi-join
+    itself; ADC sum is map-side combinable; top-k is WindowGroupLimit."""
+    p = _plan(em.q_ann_ivf_pq_topk(spark, SF))
+    assert p.count("MapInPandas") == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "partial_sum" in p
+    assert "WindowGroupLimit" in p

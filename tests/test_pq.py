@@ -161,3 +161,74 @@ def test_pq_codebook_collect_is_bounded(spark):
     tiny = e.filter(F.col("vec_id") < 8)
     assert _sample_codebook(tiny, 16, 1024,
                             "vec_id", "embedding").shape == (8, 64)
+
+
+def test_ivf_pq_full_probe_full_codebook_is_exact(spark):
+    """The residual identity, pinned: with a codeword per corpus
+    residual (k=N, m=1) and a full probe (nprobe=n_cells), the ADC
+    distance for an item in cell c is ||(q-c)-(v-c)||^2 == ||q-v||^2
+    — ivf_pq_topk must equal the independent numpy integer brute
+    force exactly, whatever the cell layout."""
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = [(r.vec_id, list(r.embedding)) for r in e.collect()]
+    ids, v = _quantized(rows)
+    want = _exact_topk(ids, v, range(5))
+    got = sorted((r.query_id, r.item_id, r.approx_l2sq, r.rank)
+                 for r in ivf_pq_topk(
+                     e, e.filter(F.col("vec_id") < 5), 5,
+                     n_cells=8, nprobe=8, m=1, k=len(rows)).collect())
+    assert got == want
+
+
+def test_ivf_pq_cluster_recall(spark):
+    """On the planted-cluster corpus, IVF-PQ at partial probe must
+    return only same-cluster neighbors and fill all slots — the
+    composition must not lose PQ's cell-level resolution."""
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    _, ec = _clustered(spark)
+    res = ivf_pq_topk(ec, ec.filter(F.col("vec_id") < 16), 5,
+                      n_cells=8, nprobe=3, m=8, k=16).collect()
+    assert len(res) == 16 * 5
+    purity = sum(r.item_id % 8 == r.query_id % 8 for r in res) / len(res)
+    assert purity >= 0.95, f"cluster purity {purity}"
+
+
+def test_ivf_pq_prunes_candidates(spark):
+    """nprobe < n_cells must actually prune: the per-query candidate
+    pool (pre-top-k) is a strict subset of the corpus, and raising
+    nprobe to n_cells recovers at least as many of the true top-5
+    (monotone recall)."""
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    n = e.count()
+    pool = ivf_pq_topk(e, q, topk=n, n_cells=8, nprobe=1, m=8, k=16)
+    per_query = {r["query_id"]: r["n"] for r in
+                 pool.groupBy("query_id").agg(
+                     F.count(F.lit(1)).alias("n")).collect()}
+    assert per_query and all(c < n - 1 for c in per_query.values())
+
+    rows = [(r.vec_id, list(r.embedding)) for r in e.collect()]
+    ids, v = _quantized(rows)
+    exact = {(qq, i) for qq, i, _, _ in _exact_topk(ids, v, range(5))}
+    shallow = {(r.query_id, r.item_id)
+               for r in ivf_pq_topk(e, q, 5, n_cells=8, nprobe=1,
+                                    m=8, k=16).collect()}
+    deep = {(r.query_id, r.item_id)
+            for r in ivf_pq_topk(e, q, 5, n_cells=8, nprobe=8,
+                                 m=8, k=16).collect()}
+    assert len(exact & deep) >= len(exact & shallow)
+
+
+def test_ivf_pq_validation(spark):
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(e, e.limit(1), 5, m=7)
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_pq_topk(e.filter(F.lit(False)), e.limit(1), 5)
