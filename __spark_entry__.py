@@ -1404,6 +1404,74 @@ def _oracle_pq_code_stats(m: int = 8, dsub: int = 8, k: int = 16,
         FROM enc GROUP BY 1, 2"""
 
 
+_BLOCKLIST_TERMS = ("slow", "big", "drop")
+_BLOCKLIST_THRESH = 80  # x1000: block if >8% of tokens are listed
+
+
+def q_text_blocklist(spark, sf_dir):
+    """C4/Gopher-style blocklist annotate (operators/blockfilter.py) in
+    fraction mode: pure-integer 1000*n_blocked > thr*n_tokens verdict,
+    map-only JVM column algebra (no explode of the corpus, no Python).
+    Terms+threshold chosen so the sf corpora split non-trivially
+    (sf0.01: 159/500 blocked)."""
+    from racket_linkeddata_spark.operators.blockfilter import (
+        blocklist_annotate)
+
+    return blocklist_annotate(
+        _docs(spark, sf_dir), list(_BLOCKLIST_TERMS),
+        mode="fraction", threshold_x1000=_BLOCKLIST_THRESH)
+
+
+def q_blocklist_stats(spark, sf_dir):
+    """Per-term blocklist observability: doc frequency + occurrence
+    counts (explodes ONLY matched occurrences — bounded by hits)."""
+    from racket_linkeddata_spark.operators.blockfilter import (
+        blocklist_stats)
+
+    return blocklist_stats(_docs(spark, sf_dir), list(_BLOCKLIST_TERMS))
+
+
+def _blocklist_sql_terms() -> str:
+    return ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST_TERMS))
+
+
+def _oracle_blocklist() -> str:
+    """DuckDB replica of q_text_blocklist: same tokenization regex,
+    same integer fixed-point inequality, same NULL-text COALESCE."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   x -> x != '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                 x -> x IN ({_blocklist_sql_terms()}))) AS BIGINT)
+                 AS n_blocked,
+               CAST(len(list_intersect(toks,
+                 [{_blocklist_sql_terms()}])) AS BIGINT)
+                 AS n_blocked_terms,
+               1000 * len(list_filter(toks,
+                 x -> x IN ({_blocklist_sql_terms()})))
+                 > {_BLOCKLIST_THRESH} * len(toks) AS blocked
+        FROM t"""
+
+
+def _oracle_blocklist_stats() -> str:
+    return f"""
+        WITH hits AS (
+          SELECT doc_id AS doc, unnest(list_filter(
+            list_filter(string_split_regex(
+              lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x != ''),
+            x -> x IN ({_blocklist_sql_terms()}))) AS term
+          FROM documents)
+        SELECT term, count(DISTINCT doc) AS n_docs,
+               count(*) AS n_occurrences
+        FROM hits GROUP BY term"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup — exact baseline (the dedup-family
     analogue of ann_cosine_threshold; the scale path is the LSH variant
@@ -2255,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "text_quality_signals": q_text_quality_signals,
+        "text_blocklist": q_text_blocklist,
+        "blocklist_stats": q_blocklist_stats,
         "text_decontaminate": q_text_decontaminate,
         "text_mixture_stats": q_text_mixture_stats,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2623,6 +2693,8 @@ def oracle_sql() -> dict[str, str]:
         "training_data_prep": _oracle_training_data_prep(),
         "text_redact_pii": _oracle_redact_pii(),
         "text_quality_signals": _oracle_quality_signals(),
+        "text_blocklist": _oracle_blocklist(),
+        "blocklist_stats": _oracle_blocklist_stats(),
         "text_decontaminate": _ORACLE_TEXT_DECONTAMINATE,
         "text_mixture_stats": _oracle_mixture_stats(),
         "text_repetition": """

@@ -131,6 +131,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_repetition", "text_redact_pii",
                  "text_quality_signals",
                  "text_decontaminate", "text_mixture_stats",
+                 "text_blocklist",
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_quota_sample",

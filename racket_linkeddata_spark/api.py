@@ -65,6 +65,11 @@ def _lazy_spark():
         repetition_stats,
         simhash,
     )
+    from .operators.blockfilter import (
+        blocklist_annotate,
+        blocklist_filter,
+        blocklist_stats,
+    )
     from .operators.decontam import contamination_stats, decontaminate
     from .operators.lmscore import token_counts, word_surprisal
     from .operators.mixture import (
@@ -113,6 +118,8 @@ def __getattr__(name):
                  "duplicate_spans", "span_dedup", "normalize_text",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
+                 "blocklist_annotate", "blocklist_filter",
+                 "blocklist_stats",
                  "mixture_sample", "mixture_stats", "quota_sample",
                  "epoch_upsample",
                  "shuffle_shards", "pack_offsets", "packing_stats",

@@ -79,3 +79,13 @@ def test_packing_null_text_parity(spark, corpus_dir):
 def test_spans_null_text_parity(spark, corpus_dir):
     for name in ("dedup_spans", "dedup_span_stats"):
         _compare(spark, corpus_dir, name)
+
+
+def test_blocklist_null_text_parity(spark, corpus_dir):
+    """NULL text tokenizes to zero tokens on BOTH sides: never blocked
+    (fraction of nothing), zero counts — the doc survives a filter."""
+    got = _compare(spark, corpus_dir, "text_blocklist")
+    cols = _compare.cols
+    rows = {dict(zip(cols, r))["doc_id"]: dict(zip(cols, r)) for r in got}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["blocked"] is False
+    assert rows[3]["n_tokens"] == 0 and rows[3]["blocked"] is False

@@ -317,3 +317,20 @@ def test_ivf_pq_plan_shape(spark):
     assert "SortMergeJoin" not in p and "Cartesian" not in p
     assert "partial_sum" in p
     assert "WindowGroupLimit" in p
+
+
+def test_blocklist_map_only(spark):
+    """blocklist annotate: pure JVM column algebra — no Python stage,
+    no join/aggregate/window, no explode of the corpus; one projection
+    over the scan. stats: Generate fires on the PRE-FILTERED match
+    array (bounded by hits), then one two-phase count aggregate."""
+    p = _plan(em.q_text_blocklist(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    for node in ("Join", "HashAggregate", "Sort", "Window", "Generate",
+                 "Exchange"):
+        assert node not in p, (node, p[:500])
+
+    p = _plan(em.q_blocklist_stats(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Generate" in p and "filter(" in p
+    assert "partial_count" in p
