@@ -150,29 +150,40 @@ def _oracle_bpe_tokens(table: str = "documents") -> str:
   FROM {table}"""
 
 
-def _oracle_minhash_lsh(table: str = "documents") -> str:
-    """DuckDB replica of minhash_lsh_candidates over ``table`` (a view
-    or an outer CTE with (doc_id, text)) — parameterized so composed
-    pipelines can scope it to a survivor subset."""
-    return f"""
-WITH sh AS ({_oracle_shingles(table)}),
-base AS (
+def _oracle_minhash_banded(table: str) -> str:
+    """The MinHash band-table CTE chain (sh -> base -> mins -> banded)
+    over ``table`` — the single source of truth shared by the
+    minhash-LSH dedup oracle and the fuzzy-decontamination oracle
+    (the r05b no-copy-paste-oracles rule).  Emits CTE names prefixed
+    with the table name so two instances can coexist in one query."""
+    p = table
+    return f"""{p}_sh AS ({_oracle_shingles(table)}),
+{p}_base AS (
   SELECT doc_id,
          list_transform(s, g ->
            ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483648) AS hs
-  FROM sh),
-mins AS (
+  FROM {p}_sh),
+{p}_mins AS (
   SELECT doc_id,
          {', '.join(
              f"coalesce(list_min(list_transform(hs, h -> "
              f"(h*{2 * j + 1} + {104729 * (j + 1)}) % {_MERSENNE})), "
              f"{_MERSENNE}) AS mh{j}" for j in range(16))}
-  FROM base),
-banded AS (
+  FROM {p}_base),
+{p}_banded AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {i} AS band, "
       f"{'||chr(31)||'.join(f'mh{i * 4 + r}::VARCHAR' for r in range(4))}"
-      f" AS bucket FROM mins" for i in range(4))}),
+      f" AS bucket FROM {p}_mins" for i in range(4))})"""
+
+
+def _oracle_minhash_lsh(table: str = "documents") -> str:
+    """DuckDB replica of minhash_lsh_candidates over ``table`` (a view
+    or an outer CTE with (doc_id, text)) — parameterized so composed
+    pipelines can scope it to a survivor subset."""
+    return f"""
+WITH {_oracle_minhash_banded(table)},
+banded AS (SELECT * FROM {table}_banded),
 sized AS (
   SELECT band, bucket, count(*) AS c FROM banded GROUP BY band, bucket),
 ok AS (
@@ -1404,6 +1415,44 @@ def _oracle_pq_code_stats(m: int = 8, dsub: int = 8, k: int = 16,
         FROM enc GROUP BY 1, 2"""
 
 
+def q_text_decontam_fuzzy(spark, sf_dir):
+    """MinHash-LSH fuzzy decontamination (decontam.fuzzy_contamination):
+    NEAR-duplicate benchmark collisions — catches perturbed leaks the
+    verbatim n-gram probe (text_decontaminate) misses. Benchmark =
+    docs 0-19, so those docs (16 shared bands) and their corpus
+    near-dups collide by construction at every sf. Empty-signature
+    (short) docs are excluded on both sides — the sentinel bucket is
+    removed by a literal inequality, mirrored in the oracle."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_contamination)
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    return fuzzy_contamination(d, bench)
+
+
+def _oracle_decontam_fuzzy() -> str:
+    """DuckDB replica of q_text_decontam_fuzzy: the shared banded CTE
+    chain over the corpus AND the benchmark subset, sentinel bands
+    excluded, equi-join on (band, bucket), shared-band counts."""
+    from racket_linkeddata_spark.operators.textstats import _MERSENNE
+
+    sentinel = "||chr(31)||".join([f"'{_MERSENNE}'"] * 4)
+    return f"""
+        WITH bench AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 20),
+        {_oracle_minhash_banded("documents")},
+        {_oracle_minhash_banded("bench")},
+        cb AS (SELECT doc_id, band, bucket FROM documents_banded
+               WHERE bucket != {sentinel}),
+        bb AS (SELECT doc_id AS bench_id, band, bucket FROM bench_banded
+               WHERE bucket != {sentinel})
+        SELECT cb.doc_id, bb.bench_id,
+               count(*) AS n_shared_bands
+        FROM cb JOIN bb USING (band, bucket)
+        GROUP BY 1, 2"""
+
+
 _BLOCKLIST_TERMS = ("slow", "big", "drop")
 _BLOCKLIST_THRESH = 80  # x1000: block if >8% of tokens are listed
 
@@ -2325,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_signals": q_text_quality_signals,
         "text_blocklist": q_text_blocklist,
         "blocklist_stats": q_blocklist_stats,
+        "text_decontam_fuzzy": q_text_decontam_fuzzy,
         "text_decontaminate": q_text_decontaminate,
         "text_mixture_stats": q_text_mixture_stats,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2695,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_signals": _oracle_quality_signals(),
         "text_blocklist": _oracle_blocklist(),
         "blocklist_stats": _oracle_blocklist_stats(),
+        "text_decontam_fuzzy": _oracle_decontam_fuzzy(),
         "text_decontaminate": _ORACLE_TEXT_DECONTAMINATE,
         "text_mixture_stats": _oracle_mixture_stats(),
         "text_repetition": """

@@ -130,8 +130,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_langid", "text_langid_model",
                  "text_repetition", "text_redact_pii",
                  "text_quality_signals",
-                 "text_decontaminate", "text_mixture_stats",
-                 "text_blocklist",
+                 "text_decontaminate", "text_decontam_fuzzy",
+                 "text_mixture_stats", "text_blocklist",
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_quota_sample",

@@ -70,7 +70,12 @@ def _lazy_spark():
         blocklist_filter,
         blocklist_stats,
     )
-    from .operators.decontam import contamination_stats, decontaminate
+    from .operators.decontam import (
+        contamination_stats,
+        decontaminate,
+        fuzzy_contamination,
+        fuzzy_decontaminate,
+    )
     from .operators.lmscore import token_counts, word_surprisal
     from .operators.mixture import (
         epoch_upsample,
@@ -118,6 +123,7 @@ def __getattr__(name):
                  "duplicate_spans", "span_dedup", "normalize_text",
                  "quality_signals", "quality_gate",
                  "contamination_stats", "decontaminate",
+                 "fuzzy_contamination", "fuzzy_decontaminate",
                  "blocklist_annotate", "blocklist_filter",
                  "blocklist_stats",
                  "mixture_sample", "mixture_stats", "quota_sample",

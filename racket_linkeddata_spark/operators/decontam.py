@@ -94,3 +94,76 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
               .filter(F.col("n_hits") >= min_hits)
               .select(id_col))
     return docs.join(contam, id_col, "left_anti")
+
+
+def _bands_for(df: DataFrame, n: int, k: int, bands: int,
+               text_col: str, id_col: str, out_id: str) -> DataFrame:
+    """(out_id, band, bucket) MinHash-LSH band table with the
+    EMPTY-SIGNATURE bands removed: a doc with fewer than ``n`` tokens
+    minhashes to the all-sentinel signature (textstats._minhash_cols'
+    array_repeat fallback), so every short doc would collide with every
+    other in every band — on a web corpus the classic degenerate
+    bucket.  The sentinel bucket string is exactly known (the Mersenne
+    sentinel repeated rows-per-band times), so one literal inequality
+    removes it; semantically this is decontam's existing rule — a doc
+    with no n-grams can never be contaminated."""
+    from .textstats import _MERSENNE, _lsh_band_table
+
+    renamed = df.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+    sentinel = "\x1f".join([str(_MERSENNE)] * (k // bands))
+    return (_lsh_band_table(renamed, n, k, bands)
+            .filter(F.col("bucket") != sentinel)
+            .select(F.col("doc_id").alias(out_id), "band", "bucket"))
+
+
+def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, *,
+                        n: int = 3, k: int = 16, bands: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH NEAR-duplicate decontamination probe — the fuzzy
+    sibling of contamination_stats (which needs a verbatim n-gram hit;
+    a lightly paraphrased or whitespace-perturbed benchmark leak slips
+    past it, the documented gap this closes).
+
+    Returns (id_col, bench_id, n_shared_bands): every (training doc,
+    benchmark doc) pair whose MinHash signatures collide in >= 1 band,
+    with the band count as match strength (the LSH S-curve in
+    textstats.lsh_plan maps (bands, rows) to an effective Jaccard
+    threshold).  Benchmark rows need (id_col, text_col).
+
+    100 TB shape: both sides are map-only signature pipelines; the
+    benchmark band table is broadcast (eval sets are MBs), so the probe
+    is a map-side hash join — corpus bands never shuffle; the only
+    exchange is the (doc, bench) count aggregate over HITS.  Empty
+    signatures (docs shorter than ``n`` tokens) are excluded on both
+    sides by construction — see _bands_for."""
+    cb = _bands_for(docs, n, k, bands, text_col, id_col, "doc_id")
+    bb = _bands_for(benchmark, n, k, bands, text_col, id_col,
+                    "bench_id")
+    return (cb.join(F.broadcast(bb), ["band", "bucket"])
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def fuzzy_decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                        n: int = 3, k: int = 16, bands: int = 4,
+                        min_bands: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The filter face: drop training docs whose signature collides
+    with any benchmark doc in >= ``min_bands`` bands.  Anti-join on the
+    CONTAMINATED id set (the decontaminate() convention: NULL-id rows
+    can never be attributed a collision and must survive)."""
+    if min_bands < 1:
+        raise ValueError(
+            f"fuzzy_decontaminate: min_bands must be >= 1, got "
+            f"{min_bands} (0 would drop nothing-matched docs)")
+    contam = (fuzzy_contamination(docs, benchmark, n=n, k=k,
+                                  bands=bands, text_col=text_col,
+                                  id_col=id_col)
+              .groupBy("doc_id")
+              .agg(F.max("n_shared_bands").alias("best"))
+              .filter(F.col("best") >= min_bands)
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(contam, id_col, "left_anti")

@@ -262,3 +262,65 @@ def test_epoch_upsample_rejects_epoch_column(spark):
                               "doc_id long, source string, epoch int")
     with _pytest.raises(ValueError):
         epoch_upsample(d, {"s0": 2.0})
+
+
+_FUZZY_BASE = (
+    "the quick brown fox jumps over the lazy dog while carrying "
+    "a heavy basket of fresh garden vegetables to the market")
+
+
+@pytest.fixture(scope="module")
+def fuzzy_docs(spark):
+    pert = _FUZZY_BASE.replace("heavy", "large").replace("fresh", "ripe")
+    docs = spark.createDataFrame([
+        (1, _FUZZY_BASE),   # exact benchmark copy
+        (2, pert),          # paraphrased leak (2 words swapped)
+        (3, "completely unrelated text about spark physical plans and "
+            "shuffles and exchanges and broadcast joins everywhere"),
+        (4, "too short"),   # < n tokens: empty signature, excluded
+        (None, _FUZZY_BASE),  # NULL id, contaminated text
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, _FUZZY_BASE), (101, "hi")],  # 101: short, excluded
+        "doc_id long, text string")
+    return docs, bench
+
+
+def test_fuzzy_contamination_pairs(spark, fuzzy_docs):
+    """Exact copy collides in ALL 4 bands; the 2-word paraphrase still
+    collides in 3 (the fuzzy catch the verbatim n-gram probe exists
+    for); unrelated and short docs collide in none; the short
+    benchmark doc ('hi') produces no sentinel-bucket collisions."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_contamination)
+
+    docs, bench = fuzzy_docs
+    rows = {(r.doc_id, r.bench_id): r.n_shared_bands
+            for r in fuzzy_contamination(docs, bench).collect()}
+    assert rows[(1, 100)] == 4
+    assert rows[(2, 100)] == 3
+    assert rows[(None, 100)] == 4  # stats face still reports NULL ids
+    assert all(b != 101 for _, b in rows)
+    assert all(d != 3 and d != 4 for d, _ in rows)
+
+
+def test_fuzzy_decontaminate_survivors(spark, fuzzy_docs):
+    """Filter face: both leaks drop, clean/short docs survive, and the
+    NULL-id row survives (anti-join convention — a NULL id can never
+    be attributed a collision)."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_decontaminate)
+
+    docs, bench = fuzzy_docs
+    surv = sorted((r.doc_id for r in
+                   fuzzy_decontaminate(docs, bench).collect()),
+                  key=lambda x: (x is None, x))
+    assert surv == [3, 4, None]
+    # min_bands raises the evidence bar: at 4 the paraphrase survives
+    surv4 = sorted((r.doc_id for r in
+                    fuzzy_decontaminate(docs, bench,
+                                        min_bands=4).collect()),
+                   key=lambda x: (x is None, x))
+    assert surv4 == [2, 3, 4, None]
+    with pytest.raises(ValueError, match="min_bands"):
+        fuzzy_decontaminate(docs, bench, min_bands=0)

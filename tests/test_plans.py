@@ -334,3 +334,14 @@ def test_blocklist_map_only(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Generate" in p and "filter(" in p
     assert "partial_count" in p
+
+
+def test_fuzzy_decontam_broadcast_probe(spark):
+    """fuzzy decontamination: the benchmark band table rides a
+    BROADCAST hash join (corpus bands never shuffle to meet it); the
+    shared-band count is a two-phase aggregate; no sort-merge join or
+    cross product anywhere."""
+    p = _plan(em.q_text_decontam_fuzzy(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "partial_count" in p
