@@ -27,6 +27,7 @@ convention (exact in DuckDB with the same inequality).
 
 from __future__ import annotations
 
+import re
 from typing import List
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -36,10 +37,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 TOKEN_SEP = "[^a-z0-9]+"
 
 
+_TERM_RE = re.compile(r"^[a-z0-9]+$")
+
+
 def _norm_terms(terms: List[str]) -> List[str]:
     out = sorted({t.strip().lower() for t in terms if t and t.strip()})
     if not out:
         raise ValueError("blocklist: no non-empty terms supplied")
+    bad = [t for t in out if not _TERM_RE.match(t)]
+    if bad:
+        # the tokenizer splits on [^a-z0-9]+, so a multi-word phrase or
+        # punctuated term can NEVER match a token — accepting it would
+        # make the filter a silent no-op for that entry (review r06e)
+        raise ValueError(
+            "blocklist: terms must be single lowercase alnum tokens "
+            f"(the tokenizer cannot match {bad[:5]}); split phrases "
+            "into their words or use an n-gram probe "
+            "(decontam.contamination_stats) for phrase blocking")
     return out
 
 
@@ -59,19 +73,29 @@ def _validate(mode: str, threshold_x1000: int):
             f"got {threshold_x1000}")
 
 
-def _blocked_expr(terms: List[str], mode: str, threshold_x1000: int,
-                  text_col: str) -> Column:
-    """The verdict as a pure column expression over the source row —
-    shared by annotate and filter so the two can never disagree, and
-    so filter needs no self-join."""
-    toks = _tokens(text_col)
-    n_blocked = (F.size(F.filter(toks, lambda x: x.isin(*terms)))
-                 .cast("long"))
+# collision-safe working column (the repo convention for temp columns)
+_TOKS = "__blocklist_toks"
+
+
+def _with_tokens(documents: DataFrame, text_col: str) -> DataFrame:
+    """All source columns plus the token array, evaluated ONCE: the
+    explode(array(...)) Generate barrier (the _mins_table pattern) —
+    without it the interpreted split+filter tree is re-inlined into
+    every downstream expression that reads it (the repo's measured
+    re-evaluation gotcha; annotate reads it 3x, filter 2x)."""
+    return documents.select(
+        "*", F.explode(F.array(_tokens(text_col))).alias(_TOKS))
+
+
+def _verdict(mode: str, threshold_x1000: int, n_blocked: Column,
+             n_tokens: Column) -> Column:
+    """Verdict from already-computed counts — shared by annotate and
+    filter so the two cannot drift.  Pure-integer fraction compare; an
+    empty/NULL document (0 tokens) is never blocked."""
     if mode == "any":
         return n_blocked > 0
     return (F.lit(1000).cast("long") * n_blocked
-            > F.lit(threshold_x1000).cast("long")
-            * F.size(toks).cast("long"))
+            > F.lit(threshold_x1000).cast("long") * n_tokens)
 
 
 def blocklist_annotate(documents: DataFrame, terms: List[str], *,
@@ -91,16 +115,17 @@ def blocklist_annotate(documents: DataFrame, terms: List[str], *,
     _validate(mode, threshold_x1000)
     terms = _norm_terms(terms)
     lit_terms = F.array(*[F.lit(t) for t in terms])
-    toks = _tokens(text_col)
-    return documents.select(
+    toks = F.col(_TOKS)
+    counted = _with_tokens(documents, text_col).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.filter(toks, lambda x: x.isin(*terms)))
         .cast("long").alias("n_blocked"),
         F.size(F.array_intersect(toks, lit_terms))
-        .cast("long").alias("n_blocked_terms"),
-        _blocked_expr(terms, mode, threshold_x1000, text_col)
-        .alias("blocked"))
+        .cast("long").alias("n_blocked_terms"))
+    return counted.withColumn(
+        "blocked", _verdict(mode, threshold_x1000,
+                            F.col("n_blocked"), F.col("n_tokens")))
 
 
 def blocklist_filter(documents: DataFrame, terms: List[str], *,
@@ -108,13 +133,18 @@ def blocklist_filter(documents: DataFrame, terms: List[str], *,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Drop blocked documents; survivors keep ALL their columns.
-    The verdict is the same column expression annotate uses, applied
-    directly as a filter on the source — map-only, no self-join, and
-    the two surfaces cannot drift."""
+    The verdict comes from the same counting expressions annotate uses
+    (shared _verdict), applied as a filter above the token barrier —
+    map-only, no self-join, single tokenization."""
     _validate(mode, threshold_x1000)
-    return documents.filter(
-        ~_blocked_expr(_norm_terms(terms), mode, threshold_x1000,
-                       text_col))
+    terms = _norm_terms(terms)
+    toks = F.col(_TOKS)
+    n_blocked = (F.size(F.filter(toks, lambda x: x.isin(*terms)))
+                 .cast("long"))
+    return (_with_tokens(documents, text_col)
+            .filter(~_verdict(mode, threshold_x1000, n_blocked,
+                              F.size(toks).cast("long")))
+            .drop(_TOKS))
 
 
 def blocklist_stats(documents: DataFrame, terms: List[str], *,

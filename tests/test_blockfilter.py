@@ -78,3 +78,18 @@ def test_validation(spark, docs):
     with pytest.raises(ValueError, match="threshold_x1000"):
         blocklist_filter(docs, TERMS, mode="fraction",
                          threshold_x1000=-1)
+
+
+def test_phrase_terms_rejected(spark, docs):
+    """The tokenizer splits on [^a-z0-9]+, so a phrase or punctuated
+    term can never match a token — accepting one would silently
+    no-op that entry.  Reject loudly instead (review r06e)."""
+    for bad in (["bad word"], ["don't"], ["bad", "two words"]):
+        with pytest.raises(ValueError, match="single lowercase alnum"):
+            blocklist_annotate(docs, bad)
+        with pytest.raises(ValueError, match="single lowercase alnum"):
+            blocklist_filter(docs, bad)
+    # case folding happens BEFORE validation: "BAD" is fine
+    a = {r.doc_id: r.blocked
+         for r in blocklist_annotate(docs, ["BAD"]).collect()}
+    assert a[2] and a[6] and not a[1]

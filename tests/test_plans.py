@@ -321,14 +321,18 @@ def test_ivf_pq_plan_shape(spark):
 
 def test_blocklist_map_only(spark):
     """blocklist annotate: pure JVM column algebra — no Python stage,
-    no join/aggregate/window, no explode of the corpus; one projection
-    over the scan. stats: Generate fires on the PRE-FILTERED match
-    array (bounded by hits), then one two-phase count aggregate."""
+    no join/aggregate/window/shuffle.  The token array rides ONE
+    explode(array(...)) Generate barrier so the interpreted
+    split+filter tree is evaluated once, not re-inlined into each of
+    the three counting expressions: split( must appear exactly once.
+    stats: Generate fires on the PRE-FILTERED match array (bounded by
+    hits), then one two-phase count aggregate."""
     p = _plan(em.q_text_blocklist(spark, SF))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    for node in ("Join", "HashAggregate", "Sort", "Window", "Generate",
-                 "Exchange"):
+    for node in ("Join", "HashAggregate", "Sort", "Window", "Exchange"):
         assert node not in p, (node, p[:500])
+    assert p.count("Generate") == 1, p[:500]
+    assert p.count("split(") == 1, p[:500]
 
     p = _plan(em.q_blocklist_stats(spark, SF))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
