@@ -2300,6 +2300,41 @@ def _oracle_epoch_upsample() -> str:
         FROM n WHERE n_epochs > 0"""
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (operators/tfidf.py):
+    integer bit-idf (floor-log2, the lmscore convention) so scores are
+    value-exact vs SQL; (doc,term) tf aggregate -> persisted
+    vocab-sized df aggregate -> token equi-join -> WindowGroupLimit
+    partial top-K. Ties break on the term, fully deterministic."""
+    from racket_linkeddata_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), 5)
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+         (tf.tf * ((length(bin(n.n_docs)) - 1)
+                   - (length(bin(df.df)) - 1)))::BIGINT AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term)::INT AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, n_docs, score, rank
+FROM ranked WHERE rank <= 5"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2409,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_stats": q_train_pack_stats,
         "train_pack_greedy": q_train_pack_greedy,
         "text_lm_surprisal": q_text_lm_surprisal,
+        "text_tfidf": q_text_tfidf,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -2821,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
         "train_pack_stats": _ORACLE_PACK_STATS,
         "train_pack_greedy": _ORACLE_PACK_GREEDY,
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
+        "text_tfidf": _ORACLE_TFIDF,
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

@@ -77,6 +77,7 @@ def _lazy_spark():
         fuzzy_decontaminate,
     )
     from .operators.lmscore import token_counts, word_surprisal
+    from .operators.tfidf import term_scores, tfidf_topk
     from .operators.mixture import (
         epoch_upsample,
         mixture_sample,
@@ -130,6 +131,7 @@ def __getattr__(name):
                  "epoch_upsample",
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal",
+                 "term_scores", "tfidf_topk",
                  "prep_corpus")
     if name in spark_api:
         return _lazy_spark()[name]
@@ -160,5 +162,6 @@ __all__ = [
     "epoch_upsample",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
+    "term_scores", "tfidf_topk",
     "prep_corpus",
 ]

@@ -242,6 +242,29 @@ def test_lm_surprisal_two_scans_counts_pinned(spark):
     assert "partial_count" in p
 
 
+def test_tfidf_plan(spark):
+    """tfidf_topk at 100 TB: all-JVM (no Python stage); df rides the
+    persisted vocab-sized aggregate (ONE InMemoryTableScan — the
+    corpus tokenizes twice: live probe + cache build, never thrice);
+    the single-row n_docs total joins via broadcast cross; the literal
+    rank bound fires InferWindowGroupLimit with a Partial top-K
+    BEFORE the doc_id exchange (a mega-document never sorts
+    globally); no df-count-over-window (a stopword partition would be
+    an unsplittable skew-sort)."""
+    spark.catalog.clearCache()
+    p = _plan(em.q_text_tfidf(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("InMemoryTableScan") == 1, p[:800]
+    assert len(re.findall(r"Generate explode", p)) == 2, p[:800]
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in p \
+        or "BroadcastNestedLoopJoin Cross" in p, p[:800]
+    below_exchange = p.split("Exchange hashpartitioning(doc_id", 1)[1]
+    assert "row_number(), 5, Partial" in below_exchange, \
+        "partial WindowGroupLimit must sit below the doc_id exchange"
+    assert p.count("WindowGroupLimit") == 2, p[:800]
+    assert "partial_count" in p
+
+
 def test_quota_sample_window_group_limit(spark):
     """quota_sample at 100 TB: the rank<=K filter must ride Spark's
     InferWindowGroupLimit rewrite — a partial top-K BEFORE the
