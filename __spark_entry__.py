@@ -2335,6 +2335,61 @@ SELECT doc_id, term, tf, df, n_docs, score, rank
 FROM ranked WHERE rank <= 5"""
 
 
+def q_text_textrank(spark, sf_dir):
+    """TextRank keyword salience (operators/pagerank.py): weighted
+    PageRank in scaled-integer arithmetic over the adjacent-token
+    co-occurrence graph — 5 power-iteration rounds, each one src
+    equi-join + dst aggregate + left join, localCheckpointed so the
+    loop never grows a nested plan. Integer division at every step
+    makes all 5 rounds value-exact vs the unrolled-CTE oracle."""
+    from racket_linkeddata_spark.operators.pagerank import (
+        textrank_scores)
+
+    return textrank_scores(_docs(spark, sf_dir), iterations=5)
+
+
+def _oracle_textrank(iterations: int = 5, damping: int = 85,
+                     scale: int = 1_000_000) -> str:
+    """Unrolled chained-CTE replay of the SAME fixed iteration count
+    (a recursive CTE cannot aggregate over its own reference)."""
+    base = ((100 - damping) * scale) // 100
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT n.node,
+         ({base} + ({damping} * coalesce(s.m, 0)) // 100)::BIGINT
+           AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum((r.pr * e.w) // e.outw) AS m
+    FROM e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst) s
+  ON n.node = s.dst)""")
+    return f"""
+WITH toks AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           x -> x <> '') AS l
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                               i -> {{'a': l[i], 'b': l[i + 1]}})) AS p
+  FROM toks WHERE len(l) >= 2),
+directed AS (SELECT p.a AS a, p.b AS b FROM pairs WHERE p.a <> p.b),
+edges AS (
+  SELECT a AS src, b AS dst, count(*)::BIGINT AS w FROM (
+    SELECT a, b FROM directed UNION ALL SELECT b AS a, a AS b
+    FROM directed)
+  GROUP BY a, b),
+outw AS (SELECT src, sum(w)::BIGINT AS outw FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, outw.outw
+      FROM edges JOIN outw USING (src)),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+r0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes),
+{",".join(rounds)}
+SELECT node AS term, pr AS "rank" FROM r{iterations}"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2445,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_greedy": q_train_pack_greedy,
         "text_lm_surprisal": q_text_lm_surprisal,
         "text_tfidf": q_text_tfidf,
+        "text_textrank": q_text_textrank,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -2858,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "train_pack_greedy": _ORACLE_PACK_GREEDY,
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
         "text_tfidf": _ORACLE_TFIDF,
+        "text_textrank": _oracle_textrank(),
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

@@ -134,7 +134,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_mixture_stats", "text_blocklist",
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
-                 "text_lm_surprisal", "text_tfidf", "text_quota_sample",
+                 "text_lm_surprisal", "text_tfidf", "text_textrank",
+                 "text_quota_sample",
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",

@@ -77,6 +77,11 @@ def _lazy_spark():
         fuzzy_decontaminate,
     )
     from .operators.lmscore import token_counts, word_surprisal
+    from .operators.pagerank import (
+        pagerank,
+        textrank_scores,
+        token_cooccurrence_edges,
+    )
     from .operators.tfidf import term_scores, tfidf_topk
     from .operators.mixture import (
         epoch_upsample,
@@ -132,6 +137,8 @@ def __getattr__(name):
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal",
                  "term_scores", "tfidf_topk",
+                 "pagerank", "textrank_scores",
+                 "token_cooccurrence_edges",
                  "prep_corpus")
     if name in spark_api:
         return _lazy_spark()[name]
@@ -163,5 +170,6 @@ __all__ = [
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
     "term_scores", "tfidf_topk",
+    "pagerank", "textrank_scores", "token_cooccurrence_edges",
     "prep_corpus",
 ]

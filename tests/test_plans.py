@@ -265,6 +265,22 @@ def test_tfidf_plan(spark):
     assert "partial_count" in p
 
 
+def test_textrank_edges_plan(spark):
+    """token_cooccurrence_edges: all-JVM; the token array rides ONE
+    explode(array(...)) barrier (split( once — the two slices and the
+    zip never re-inline the tokenizer), pairs explode is the second
+    Generate, and the count aggregate is two-phase."""
+    from racket_linkeddata_spark.operators.pagerank import (
+        token_cooccurrence_edges)
+    df = token_cooccurrence_edges(
+        spark.read.parquet(f"{SF}/documents.parquet"))
+    p = _plan(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("split(") == 1, p[:800]
+    assert len(re.findall(r"Generate explode", p)) == 2, p[:800]
+    assert "partial_count" in p
+
+
 def test_quota_sample_window_group_limit(spark):
     """quota_sample at 100 TB: the rank<=K filter must ride Spark's
     InferWindowGroupLimit rewrite — a partial top-K BEFORE the
