@@ -2390,6 +2390,62 @@ r0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes),
 SELECT node AS term, pr AS "rank" FROM r{iterations}"""
 
 
+def q_sketch_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog state over the corpus token stream
+    (operators/sketch.py): md5-derived 32-bit hashes, integer rho,
+    one map-side-combinable (bucket, max) aggregate — 64 rows of
+    state for any corpus size, value-exact vs the SQL replica."""
+    from racket_linkeddata_spark.operators.lmscore import _tokens
+    from racket_linkeddata_spark.operators.sketch import hll_registers
+
+    return hll_registers(_tokens(_docs(spark, sf_dir), "text",
+                                 "doc_id"), "token", p=6)
+
+
+def q_sketch_hll_summary(spark, sf_dir):
+    """Integer-exact HLL distinct-token estimate: the harmonic sum is
+    carried as sum(2^(RMAX-register)) in the integer domain and the
+    alpha*m^2*2^RMAX numerator is a Python-computed literal, so the
+    estimate matches DuckDB to the last digit."""
+    from racket_linkeddata_spark.operators.lmscore import _tokens
+    from racket_linkeddata_spark.operators.sketch import hll_summary
+
+    return hll_summary(_tokens(_docs(spark, sf_dir), "text",
+                               "doc_id"), "token", p=6)
+
+
+_HLL_REGS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           x -> x <> '')) AS token
+  FROM documents),
+h AS (SELECT CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+      FROM toks),
+regs AS (
+  SELECT (h >> 26)::BIGINT AS bucket,
+         max(CASE WHEN h % 67108864 = 0 THEN 27
+             ELSE 26 - (length(bin(h % 67108864)) - 1)
+             END)::INT AS register
+  FROM h GROUP BY bucket)"""
+
+
+def _oracle_hll_summary() -> str:
+    from racket_linkeddata_spark.operators.sketch import _alpha_x1e6
+    numerator = _alpha_x1e6(64) * 64 * 64 * (1 << 27)
+    return f"""{_HLL_REGS_SQL},
+a AS (SELECT count(*)::BIGINT AS n_filled,
+             coalesce(sum((1::BIGINT << (27 - register))), 0)::BIGINT
+               AS fd
+      FROM regs)
+SELECT 6::INT AS p, 64::BIGINT AS m,
+       (64 - n_filled)::BIGINT AS n_zero_buckets,
+       (fd + (64 - n_filled) * 134217728)::BIGINT AS harmonic_denom,
+       (({numerator} // (fd + (64 - n_filled) * 134217728))
+        // 1000000)::BIGINT AS estimate
+FROM a"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2501,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_surprisal": q_text_lm_surprisal,
         "text_tfidf": q_text_tfidf,
         "text_textrank": q_text_textrank,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "sketch_hll_summary": q_sketch_hll_summary,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -2915,6 +2973,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
         "text_tfidf": _ORACLE_TFIDF,
         "text_textrank": _oracle_textrank(),
+        "sketch_hll_registers":
+            f"{_HLL_REGS_SQL} SELECT bucket, register FROM regs",
+        "sketch_hll_summary": _oracle_hll_summary(),
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

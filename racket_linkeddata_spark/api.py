@@ -82,6 +82,7 @@ def _lazy_spark():
         textrank_scores,
         token_cooccurrence_edges,
     )
+    from .operators.sketch import hll_registers, hll_summary
     from .operators.tfidf import term_scores, tfidf_topk
     from .operators.mixture import (
         epoch_upsample,
@@ -139,6 +140,7 @@ def __getattr__(name):
                  "term_scores", "tfidf_topk",
                  "pagerank", "textrank_scores",
                  "token_cooccurrence_edges",
+                 "hll_registers", "hll_summary",
                  "prep_corpus")
     if name in spark_api:
         return _lazy_spark()[name]
@@ -171,5 +173,6 @@ __all__ = [
     "pack_greedy", "token_counts", "word_surprisal",
     "term_scores", "tfidf_topk",
     "pagerank", "textrank_scores", "token_cooccurrence_edges",
+    "hll_registers", "hll_summary",
     "prep_corpus",
 ]

@@ -281,6 +281,16 @@ def test_textrank_edges_plan(spark):
     assert "partial_count" in p
 
 
+def test_hll_map_side_combine(spark):
+    """HLL at 100 TB: the (bucket, max) aggregate must partial-combine
+    map-side (only m rows cross the exchange per task); all-JVM; the
+    summary is a second constant-size aggregate."""
+    p = _plan(em.q_sketch_hll_summary(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_max" in p, p[:800]
+    assert "Join" not in p and "Window" not in p
+
+
 def test_quota_sample_window_group_limit(spark):
     """quota_sample at 100 TB: the rank<=K filter must ride Spark's
     InferWindowGroupLimit rewrite — a partial top-K BEFORE the

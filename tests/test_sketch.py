@@ -1,0 +1,94 @@
+"""Deterministic HyperLogLog (operators/sketch.py): register-level
+parity with a pure-Python replica, duplicate insensitivity, estimate
+accuracy, empty input, and validation."""
+
+import hashlib
+
+import pytest
+
+from racket_linkeddata_spark.operators.sketch import (
+    _alpha_x1e6,
+    hll_registers,
+    hll_summary,
+)
+
+
+def _replica_registers(values, p):
+    w = 32 - p
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        b, suf = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) if suf == 0 else w - (suf.bit_length() - 1)
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _replica_summary(values, p):
+    m, rmax = 1 << p, (32 - p) + 1
+    regs = _replica_registers(values, p)
+    denom = (sum(1 << (rmax - r) for r in regs.values())
+             + (m - len(regs)) * (1 << rmax))
+    numerator = _alpha_x1e6(m) * m * m * (1 << rmax)
+    return (m - len(regs), denom, (numerator // denom) // 1_000_000)
+
+
+VALUES = ["alpha", "beta", "gamma", None, "alpha", "42"] + \
+    [f"tok{i}" for i in range(200)]
+
+
+def test_registers_match_replica(spark):
+    df = spark.createDataFrame([(v,) for v in VALUES], "v string")
+    for p in (4, 6, 10):
+        got = {r.bucket: r.register
+               for r in hll_registers(df, "v", p=p).collect()}
+        assert got == _replica_registers(VALUES, p), p
+
+
+def test_int_column_hashes_like_str(spark):
+    """values hash via their string form: int 42 == str '42'."""
+    df = spark.createDataFrame([(42,), (7,)], "v long")
+    got = {r.bucket: r.register
+           for r in hll_registers(df, "v", p=6).collect()}
+    assert got == _replica_registers([42, 7], 6)
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    once = spark.createDataFrame([(v,) for v in VALUES], "v string")
+    thrice = spark.createDataFrame([(v,) for v in VALUES * 3],
+                                   "v string")
+    assert sorted(map(tuple, hll_registers(once, "v").collect())) == \
+        sorted(map(tuple, hll_registers(thrice, "v").collect()))
+
+
+def test_summary_matches_replica_and_is_accurate(spark):
+    vals = [f"item-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    row = hll_summary(df, "v", p=6).collect()[0]
+    zeros, denom, est = _replica_summary(vals, 6)
+    assert (row.p, row.m) == (6, 64)
+    assert (row.n_zero_buckets, row.harmonic_denom, row.estimate) == \
+        (zeros, denom, est)
+    # 64 buckets -> sigma ~ 1.04/8 = 13%; assert within 3 sigma
+    assert abs(row.estimate - 5000) / 5000 < 0.39
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v string")
+    row = hll_summary(df, "v", p=6).collect()[0]
+    assert row.n_zero_buckets == 64
+    assert row.harmonic_denom == 64 * (1 << 27)
+    # all-zero registers: raw estimate degenerates to ~alpha*m (the
+    # documented no-linear-counting regime, flagged by n_zero_buckets)
+    assert row.estimate == (_alpha_x1e6(64) * 64) // 1_000_000
+
+
+def test_p_validation(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    for bad in (3, 11, 0):
+        with pytest.raises(ValueError, match="p must be in"):
+            hll_registers(df, "v", p=bad)
+        with pytest.raises(ValueError, match="p must be in"):
+            hll_summary(df, "v", p=bad)
