@@ -110,8 +110,10 @@ def _lazy_spark():
     return locals()
 
 
-def __getattr__(name):
-    spark_api = ("extract_triples", "build_kg", "session", "read_nquads",
+# module constant so tests can pin _SPARK_API ⊆ __all__ (the drift the
+# facade docstring promises cannot happen — review r06e found 9 names
+# reachable via __getattr__ but missing from __all__)
+_SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "write_nquads", "synthesize_pages", "run_ingest",
                  "run_ingest_kg", "read_warc", "write_warc",
                  "expand_documents", "compact_documents",
@@ -142,7 +144,10 @@ def __getattr__(name):
                  "token_cooccurrence_edges",
                  "hll_registers", "hll_summary",
                  "prep_corpus")
-    if name in spark_api:
+
+
+def __getattr__(name):
+    if name in _SPARK_API:
         return _lazy_spark()[name]
     raise AttributeError(name)
 
@@ -155,6 +160,8 @@ __all__ = [
     "extract_triples", "build_kg", "session", "read_nquads",
     "write_nquads", "synthesize_pages", "run_ingest", "run_ingest_kg",
     "read_warc", "write_warc",
+    "expand_documents", "compact_documents", "flatten_documents",
+    "normalize_documents", "salted_agg",
     "brute_force_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_lsh",
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash",
     "connected_components", "dedup_keepers",
@@ -163,10 +170,13 @@ __all__ = [
     "bpe_token_count", "bpe_encode", "train_bpe",
     "repetition_stats", "redact_pii",
     "kmeans_centroids", "read_warc_stream",
+    "pq_encode", "pq_topk", "pq_code_stats", "ivf_pq_topk",
     "paragraph_dedup", "passage_counts",
     "duplicate_spans", "span_dedup", "normalize_text",
     "quality_signals", "quality_gate",
     "contamination_stats", "decontaminate",
+    "fuzzy_contamination", "fuzzy_decontaminate",
+    "blocklist_annotate", "blocklist_filter", "blocklist_stats",
     "mixture_sample", "mixture_stats", "quota_sample",
     "epoch_upsample",
     "shuffle_shards", "pack_offsets", "packing_stats",

@@ -96,6 +96,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(contam, id_col, "left_anti")
 
 
+def _validate_banding(k: int, bands: int):
+    """bands > k makes rows_per_band = k // bands = 0: every bucket
+    degenerates to the empty string, which equals the empty-signature
+    sentinel, so BOTH sides' band tables filter to nothing and the
+    probe silently reports a clean corpus — reject loudly instead
+    (review r06e)."""
+    if bands < 1 or bands > k:
+        raise ValueError(
+            f"fuzzy decontamination: bands must be in [1, k] "
+            f"(k={k}, got bands={bands}); bands > k would make every "
+            f"band bucket empty and the probe a silent no-op")
+
+
 def _bands_for(df: DataFrame, n: int, k: int, bands: int,
                text_col: str, id_col: str, out_id: str) -> DataFrame:
     """(out_id, band, bucket) MinHash-LSH band table with the
@@ -138,12 +151,19 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, *,
     exchange is the (doc, bench) count aggregate over HITS.  Empty
     signatures (docs shorter than ``n`` tokens) are excluded on both
     sides by construction — see _bands_for."""
+    _validate_banding(k, bands)
+    if id_col == "bench_id":
+        raise ValueError(
+            "fuzzy_contamination: id_col cannot be 'bench_id' (the "
+            "output pairs it with the benchmark id column)")
     cb = _bands_for(docs, n, k, bands, text_col, id_col, "doc_id")
     bb = _bands_for(benchmark, n, k, bands, text_col, id_col,
                     "bench_id")
     return (cb.join(F.broadcast(bb), ["band", "bucket"])
             .groupBy("doc_id", "bench_id")
-            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .select(F.col("doc_id").alias(id_col), "bench_id",
+                    "n_shared_bands"))
 
 
 def fuzzy_decontaminate(docs: DataFrame, benchmark: DataFrame, *,
@@ -162,8 +182,8 @@ def fuzzy_decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     contam = (fuzzy_contamination(docs, benchmark, n=n, k=k,
                                   bands=bands, text_col=text_col,
                                   id_col=id_col)
-              .groupBy("doc_id")
+              .groupBy(id_col)
               .agg(F.max("n_shared_bands").alias("best"))
               .filter(F.col("best") >= min_bands)
-              .select(F.col("doc_id").alias(id_col)))
+              .select(id_col))
     return docs.join(contam, id_col, "left_anti")

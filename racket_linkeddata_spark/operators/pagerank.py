@@ -50,7 +50,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 5,
              weight_col: Optional[str] = None) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of integer-scaled
     power iteration. ``weight_col=None`` means unit weights (plain
-    out-degree split)."""
+    out-degree split). Weights must be a positive INTEGRAL column —
+    a fractional weight would truncate to 0 under the bigint cast and
+    silently zero that edge's (and possibly its source's whole)
+    contribution, so fractional types are rejected at plan time and
+    non-positive values fail the job loudly (review r06e). Edges with
+    a NULL endpoint are malformed and rejected the same way — a
+    silent drop would also vanish nodes reachable only through them."""
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, "
                          f"got {iterations}")
@@ -60,11 +66,30 @@ def pagerank(edges: DataFrame, *, iterations: int = 5,
     if scale < 1:
         raise ValueError(f"pagerank: scale must be >= 1, got {scale}")
 
-    w = (F.col(weight_col).cast("bigint") if weight_col is not None
-         else F.lit(1).cast("bigint"))
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"),
-                     w.alias("w"))
+    if weight_col is not None:
+        dt = dict(edges.dtypes).get(weight_col)
+        if dt is None or any(t in dt for t in
+                             ("float", "double", "decimal")):
+            raise ValueError(
+                f"pagerank: weight_col {weight_col!r} must be an "
+                f"integral column (got {dt}); rescale fractional "
+                f"weights to integers first — the bigint cast would "
+                f"truncate them to 0")
+        w = F.col(weight_col).cast("bigint")
+        w = (F.when(w >= 1, w)
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("pagerank: weights must be >= 1, got "),
+                 F.coalesce(F.col(weight_col).cast("string"),
+                            F.lit("NULL"))))))
+    else:
+        w = F.lit(1).cast("bigint")
+    null_end = F.col(src_col).isNull() | F.col(dst_col).isNull()
+    e = edges.select(
+        F.when(~null_end, F.col(src_col))
+        .otherwise(F.raise_error(F.lit(
+            "pagerank: edge with NULL src/dst"))).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"))
 
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # pinned once: all `iterations` rounds consume this join — left

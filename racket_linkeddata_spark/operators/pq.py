@@ -66,16 +66,15 @@ def _sample_codebook(embeddings: DataFrame, k: int, scale: int,
                      id_col: str, vec_col: str) -> np.ndarray:
     """The md5-ordered first-k corpus vectors, quantized, as a
     (k_actual, dim) int64 matrix in sample order (code id = position).
-    Bounded driver collect: exactly min(k, N) rows BY CONSTRUCTION."""
-    rows = (embeddings
-            .select(F.col(id_col).cast("long").alias("i"),
-                    F.col(vec_col).cast("array<double>").alias("v"))
-            .orderBy(F.md5(F.col("i").cast("string")), "i")
-            .limit(k).collect())
+    Bounded driver collect: exactly min(k, N) rows BY CONSTRUCTION.
+    The ''-salted _salted_sample IS the same ordering rule
+    (concat(id, '') == id), so the two sampling faces cannot drift
+    (review r06e)."""
+    rows = _salted_sample(embeddings, k, "", id_col, vec_col)
     if not rows:
         raise ValueError("pq: empty corpus — cannot sample a codebook")
     return np.floor(
-        np.asarray([r["v"] for r in rows], dtype=np.float64)
+        np.asarray([v for _, v in rows], dtype=np.float64)
         * scale).astype(np.int64)
 
 
@@ -164,6 +163,24 @@ def pq_encode(embeddings: DataFrame, *, m: int = 8, k: int = 16,
     return _encode_df(embeddings, cb, scale, id_col, vec_col)
 
 
+def _checked_query(queries: DataFrame, dim: int, scale: int,
+                   id_col: str, vec_col: str, what: str) -> DataFrame:
+    """(query_id, qq) with a loud runtime dim guard.  The corpus-side
+    encode UDF validates dimensions, but the query side is pure column
+    algebra — a short/NULL query vector would slice to NULL partial
+    distances that F.sum silently skips, yielding plausible-but-wrong
+    rankings instead of an error (review r06e)."""
+    sz = F.size(F.col(vec_col))
+    qq = _quantize_col(vec_col, scale)
+    return queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.when(sz == F.lit(dim), qq)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{what}: query vector dim "),
+            sz.cast("string"),
+            F.lit(f" != codebook dim {dim}")))).alias("qq"))
+
+
 def _codebook_df(spark, cb: np.ndarray) -> DataFrame:
     """The (m, code, cvec) codeword tensor as a tiny DataFrame (m*k
     rows) for the query-side broadcast join."""
@@ -193,10 +210,12 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, topk: int = 5, *,
     the INTEGER ADC distance in quantized units — monotone in the
     approximate true distance (divide by scale^2 for float units).
     Exactness is brute_force_topk's contract; recall vs it is gated in
-    tests/test_similarity_quality.py."""
+    tests/test_pq.py (test_pq_cluster_recall,
+    test_pq_recall_improves_with_code_budget)."""
     cb = _codebook_matrix(embeddings, m, k, scale, codebook,
                           id_col, vec_col)
     dsub = cb.shape[2]
+    dim = cb.shape[0] * dsub
 
     enc = _encode_df(embeddings, cb, scale, id_col, vec_col)
     # posexplode_OUTER, deliberately: the inner generator makes
@@ -208,9 +227,7 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, topk: int = 5, *,
     codes = enc.select(
         "item_id", F.posexplode_outer("codes").alias("m", "code"))
 
-    q = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        _quantize_col(vec_col, scale).alias("qq"))
+    q = _checked_query(queries, dim, scale, id_col, vec_col, "pq")
     qsub = q.select(
         "query_id",
         F.posexplode(F.array(*[
@@ -372,9 +389,7 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame,
         "cell int, centvec array<bigint>")
     cb_df = _codebook_df(spark, cb)
 
-    q = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        _quantize_col(vec_col, scale).alias("qq"))
+    q = _checked_query(queries, dim, scale, id_col, vec_col, "ivf_pq")
     from pyspark.sql.window import Window
     wc = Window.partitionBy("query_id").orderBy(
         F.asc("cd"), F.asc("cell"))

@@ -63,8 +63,10 @@ def hll_registers(df: DataFrame, col: str, *, p: int = 6) -> DataFrame:
     like count(DISTINCT). Values are hashed via their string form."""
     _validate(p)
     w = 32 - p                      # suffix width
-    h = F.expr(f"conv(substring(md5(CAST({col} AS STRING)), 1, 8), "
-               f"16, 10)").cast("bigint")
+    # pure-column form: interpolating the raw name into an expr string
+    # breaks on non-identifier column names (review r06e)
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8),
+               16, 10).cast("bigint")
     suffix = h % F.lit(1 << w)
     rho = (F.when(suffix == 0, F.lit(w + 1))
            .otherwise(F.lit(w)

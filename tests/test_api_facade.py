@@ -15,3 +15,14 @@ def test_every_exported_name_resolves():
 def test_unknown_name_raises():
     with pytest.raises(AttributeError):
         api.no_such_operator
+
+
+def test_getattr_allowlist_subset_of_all():
+    """Every name reachable via __getattr__ must be advertised in
+    __all__ (star-import completeness) AND resolvable by the lazy
+    import map — the three lists cannot drift (review r06e)."""
+    missing = set(api._SPARK_API) - set(api.__all__)
+    assert not missing, missing
+    lazy = api._lazy_spark()
+    unresolvable = [n for n in api._SPARK_API if n not in lazy]
+    assert not unresolvable, unresolvable

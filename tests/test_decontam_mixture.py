@@ -324,3 +324,39 @@ def test_fuzzy_decontaminate_survivors(spark, fuzzy_docs):
     assert surv4 == [2, 3, 4, None]
     with pytest.raises(ValueError, match="min_bands"):
         fuzzy_decontaminate(docs, bench, min_bands=0)
+
+
+def test_fuzzy_bands_validation(spark, fuzzy_docs):
+    """bands > k makes rows_per_band 0 and every bucket the empty
+    string == the empty-signature sentinel: the probe would silently
+    report a clean corpus. Rejected loudly (review r06e)."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_contamination, fuzzy_decontaminate)
+
+    docs, bench = fuzzy_docs
+    for bad in (17, 0):
+        with pytest.raises(ValueError, match="bands must be in"):
+            fuzzy_contamination(docs, bench, k=16, bands=bad)
+        with pytest.raises(ValueError, match="bands must be in"):
+            fuzzy_decontaminate(docs, bench, k=16, bands=bad)
+
+
+def test_fuzzy_contamination_honors_id_col(spark, fuzzy_docs):
+    """The output id column carries the CALLER's name (the docstring
+    contract), and id_col='bench_id' is rejected (it would collide
+    with the benchmark id column) — review r06e."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_contamination)
+
+    docs, bench = fuzzy_docs
+    renamed = docs.withColumnRenamed("doc_id", "page_id")
+    bench_r = bench.withColumnRenamed("doc_id", "page_id")
+    out = fuzzy_contamination(renamed, bench_r, id_col="page_id")
+    assert out.columns == ["page_id", "bench_id", "n_shared_bands"]
+    assert {(r.page_id, r.bench_id) for r in out.collect()} == \
+        {(1, 100), (2, 100), (None, 100)}
+    with pytest.raises(ValueError, match="bench_id"):
+        fuzzy_contamination(
+            renamed.withColumnRenamed("page_id", "bench_id"),
+            bench_r.withColumnRenamed("page_id", "bench_id"),
+            id_col="bench_id")

@@ -123,3 +123,31 @@ def test_validation(spark, edges_df):
         pagerank(edges_df, damping_pct=101)
     with pytest.raises(ValueError, match="scale"):
         pagerank(edges_df, scale=0)
+
+
+def test_fractional_weights_rejected(spark):
+    """A double weight column would truncate to 0 under the bigint
+    cast and silently zero contributions — rejected at plan time;
+    non-positive/NULL weights fail the job loudly (review r06e)."""
+    frac = spark.createDataFrame([("a", "b", 0.4)],
+                                 "src string, dst string, w double")
+    with pytest.raises(ValueError, match="integral column"):
+        pagerank(frac, weight_col="w")
+    with pytest.raises(ValueError, match="integral column"):
+        pagerank(frac, weight_col="no_such_col")
+
+    for bad_w in (0, None):
+        bad = spark.createDataFrame([("a", "b", bad_w)],
+                                    "src string, dst string, w int")
+        with pytest.raises(Exception, match="weights must be >= 1"):
+            pagerank(bad, iterations=1, weight_col="w").collect()
+
+
+def test_null_endpoints_rejected(spark):
+    """An edge with a NULL endpoint would silently vanish in the
+    out-weight inner join — and with it any node reachable only
+    through it. Fail loudly instead (review r06e)."""
+    for rows in ([(None, "b")], [("a", None)]):
+        bad = spark.createDataFrame(rows, "src string, dst string")
+        with pytest.raises(Exception, match="NULL src/dst"):
+            pagerank(bad, iterations=1).collect()

@@ -148,6 +148,23 @@ def test_pq_validation_errors(spark):
         pq_encode(e, codebook=bad.filter(F.lit(False)))
 
 
+def test_query_dim_mismatch_raises(spark):
+    """The query side is pure column algebra: a short query vector
+    would slice to NULL partials that F.sum silently skips — wrong
+    rankings, no error. The runtime guard fails loudly instead
+    (review r06e)."""
+    from racket_linkeddata_spark.operators.pq import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 60)
+    short_q = spark.createDataFrame(
+        [(1, [0.5] * 32)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="query vector dim 32"):
+        pq_topk(e, short_q, 3).collect()
+    with pytest.raises(Exception, match="query vector dim 32"):
+        ivf_pq_topk(e, short_q, 3).collect()
+
+
 def test_pq_codebook_collect_is_bounded(spark):
     """The codebook sample must collect exactly min(k, N) rows BY
     CONSTRUCTION (the ivf_topk rule): same k, 4x the corpus, same

@@ -85,6 +85,16 @@ def test_empty_input(spark):
     assert row.estimate == (_alpha_x1e6(64) * 64) // 1_000_000
 
 
+def test_non_identifier_column_name(spark):
+    """Column access is pure-column (F.col), not string-interpolated
+    SQL — a spaced name must work (review r06e)."""
+    df = spark.createDataFrame([("alpha",), ("beta",)],
+                               "`my col` string")
+    got = {r.bucket: r.register
+           for r in hll_registers(df, "my col", p=6).collect()}
+    assert got == _replica_registers(["alpha", "beta"], 6)
+
+
 def test_p_validation(spark):
     df = spark.createDataFrame([("x",)], "v string")
     for bad in (3, 11, 0):
