@@ -87,6 +87,56 @@ def main():
          "no Python stage, no join/aggregate; one projection over the "
          "scan",
          cap(em.q_text_quality_signals(spark, sf), 40)),
+        ("Sequence packing (pack_offsets / pack_greedy): ONE shuffle "
+         "total — the md5-shard row_number window and the cumsum "
+         "window (or the applyInPandas fold) all ride the same "
+         "hashpartitioning(shard) exchange",
+         cap(em.q_train_pack_offsets(spark, sf), 60)),
+        ("LM surprisal (word_surprisal): the corpus tokenizes exactly "
+         "twice — scoring probe + the pinned vocab-sized counts "
+         "aggregate; the grand total rides the cache via a single-row "
+         "broadcast cross join, never a driver action",
+         cap(em.q_text_lm_surprisal(spark, sf), 80)),
+        ("Span dedup (span_dedup / duplicate_spans): window hashing "
+         "map-side linear, global hash counts two-phase on whash only, "
+         "hot set BROADCAST left-semi, interval merge + reassembly one "
+         "doc-keyed shuffle each",
+         cap(em.q_dedup_spans(spark, sf), 90)),
+        ("Quota sampling (quota_sample): the rank<=K filter rides "
+         "InferWindowGroupLimit — partial top-K BEFORE the exchange, "
+         "so each task forwards at most max-quota rows per source and "
+         "a mega-source never sorts globally",
+         cap(em.q_text_quota_sample(spark, sf), 60)),
+        ("PQ ANN (pq_topk / pq_encode): encode is ONE Arrow stage "
+         "(posexplode_outer defeats the InferFiltersFromGenerate "
+         "double-evaluation), ADC is broadcast equi-joins + a "
+         "map-side-combinable LongSum, top-k rides WindowGroupLimit",
+         cap(em.q_ann_pq_topk(spark, sf), 90)),
+        ("IVF-PQ (ivf_pq_topk): ONE opaque MapInPandas encode stage, "
+         "candidates pruned by the (cell, m, code) broadcast join key "
+         "itself, integer residual ADC",
+         cap(em.q_ann_ivf_pq_topk(spark, sf), 90)),
+        ("TF-IDF top-k (tfidf_topk): df is the persisted vocab-sized "
+         "aggregate (NOT a count-over-window — a stopword partition "
+         "would be an unsplittable skew-sort), n_docs a single-row "
+         "broadcast cross join, top-k a partial WindowGroupLimit "
+         "below the doc_id exchange",
+         cap(em.q_text_tfidf(spark, sf), 80)),
+        ("TextRank word graph (token_cooccurrence_edges): ONE "
+         "tokenizer evaluation behind the explode(array()) barrier, "
+         "both edge directions emitted inside the array (no self-"
+         "union re-derivation), two-phase count aggregate. The "
+         "pagerank iterations themselves are localCheckpointed "
+         "per round (node-sized state) and not shown here.",
+         cap(__import__(
+             "racket_linkeddata_spark.operators.pagerank",
+             fromlist=["token_cooccurrence_edges"])
+             .token_cooccurrence_edges(
+                 spark.read.parquet(f"{sf}/documents.parquet")), 50)),
+        ("HLL sketch (hll_summary): one map-side-combinable (bucket, "
+         "max) aggregate — m rows of state per task regardless of "
+         "corpus size — then a constant-size summary aggregate",
+         cap(em.q_sketch_hll_summary(spark, sf), 60)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "
