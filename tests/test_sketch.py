@@ -95,6 +95,36 @@ def test_non_identifier_column_name(spark):
     assert got == _replica_registers(["alpha", "beta"], 6)
 
 
+def test_streaming_registers_match_batch(spark, tmp_path):
+    """The sketch composes with Structured Streaming as-is: max is
+    commutative/idempotent, so hll_registers over micro-batches in
+    complete mode converges to the batch sketch — m rows of state,
+    the bounded-streaming-state story for distinct counting."""
+    src = str(tmp_path / "vals")
+    schema = "v string"
+    batches = [[(f"a{i}",) for i in range(40)],
+               [(f"b{i}",) for i in range(40)],
+               [(f"a{i}",) for i in range(20)]]       # dup re-delivery
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (hll_registers(stream, "v", p=6)
+         .writeStream.format("memory").queryName("hll_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.bucket, r.register)
+           for r in spark.sql("select * from hll_stream").collect()}
+    batch = {(r.bucket, r.register) for r in
+             hll_registers(spark.read.parquet(src), "v", p=6).collect()}
+    assert got == batch
+    all_vals = [v for b in batches for (v,) in b]
+    assert got == set(_replica_registers(all_vals, 6).items())
+
+
 def test_p_validation(spark):
     df = spark.createDataFrame([("x",)], "v string")
     for bad in (3, 11, 0):
