@@ -2446,6 +2446,35 @@ SELECT 6::INT AS p, 64::BIGINT AS m,
 FROM a"""
 
 
+def q_corpus_quantiles(spark, sf_dir):
+    """Exact document-length deciles (operators/quantiles.py):
+    percentile_disc over the VALUE DOMAIN — a map-side-combinable
+    (value, count) aggregate + a window over the compact table, never
+    a global row sort. Integer ceil thresholds make every decile
+    value-exact vs the SQL replica."""
+    from racket_linkeddata_spark.operators.quantiles import (
+        exact_quantiles)
+
+    return exact_quantiles(_docs(spark, sf_dir), "n_chars")
+
+
+_ORACLE_QUANTILES = """
+WITH counts AS (
+  SELECT n_chars::BIGINT AS value, count(*)::BIGINT AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT value,
+         sum(n) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum,
+         sum(n) OVER ()::BIGINT AS N
+  FROM counts),
+qs AS (SELECT unnest([10,20,30,40,50,60,70,80,90,100])::INT AS q_x100)
+SELECT q_x100, min(value)::BIGINT AS value
+FROM cum JOIN qs ON cum * 100 >= q_x100 * N
+GROUP BY q_x100"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2559,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": q_text_textrank,
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_summary": q_sketch_hll_summary,
+        "corpus_quantiles": q_corpus_quantiles,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -2976,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_registers":
             f"{_HLL_REGS_SQL} SELECT bucket, register FROM regs",
         "sketch_hll_summary": _oracle_hll_summary(),
+        "corpus_quantiles": _ORACLE_QUANTILES,
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

@@ -82,6 +82,7 @@ def _lazy_spark():
         textrank_scores,
         token_cooccurrence_edges,
     )
+    from .operators.quantiles import exact_quantiles
     from .operators.sketch import hll_registers, hll_summary
     from .operators.tfidf import term_scores, tfidf_topk
     from .operators.mixture import (
@@ -142,7 +143,7 @@ _SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "term_scores", "tfidf_topk",
                  "pagerank", "textrank_scores",
                  "token_cooccurrence_edges",
-                 "hll_registers", "hll_summary",
+                 "hll_registers", "hll_summary", "exact_quantiles",
                  "prep_corpus")
 
 
@@ -183,6 +184,6 @@ __all__ = [
     "pack_greedy", "token_counts", "word_surprisal",
     "term_scores", "tfidf_topk",
     "pagerank", "textrank_scores", "token_cooccurrence_edges",
-    "hll_registers", "hll_summary",
+    "hll_registers", "hll_summary", "exact_quantiles",
     "prep_corpus",
 ]

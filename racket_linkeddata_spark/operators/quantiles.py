@@ -1,0 +1,76 @@
+"""Exact corpus quantiles over an integer column — percentile_disc
+semantics without a global row sort:
+
+    value(q) = min v such that |{x <= v}| >= ceil(q * N)
+
+The scalable trick is aggregating over the VALUE DOMAIN, not the
+rows: a (value, count) aggregate is map-side combinable and its
+output is as small as the number of distinct values (document
+lengths, token counts, scores — domains of thousands, not the corpus
+cardinality), so the cumulative sum that follows is a window over a
+tiny compact table. A row-sort formulation (row_number over the whole
+corpus) would be a global sort at 100 TB; this is one two-phase
+aggregate plus constant-size work.
+
+Everything is integer arithmetic: thresholds are
+``(q_x100 * N + 99) div 100`` (exact ceil), so the result is
+value-exact against the same computation in SQL — no reliance on any
+engine's percentile interpolation flavor.
+
+NULLs are excluded (the percentile_disc convention). The cumulative
+window runs on a single partition BY DESIGN — its input is the
+compact (value, count) table, never corpus rows; the bound is the
+distinct-value count, which for the intended integer measures is
+tiny. An empty corpus (or all-NULL column) returns no rows.
+
+No reference counterpart; corpus observability for the LLM-pipeline
+brief (length/score distributions before choosing gate thresholds).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DECILES = tuple(range(10, 101, 10))
+
+
+def exact_quantiles(df: DataFrame, col: str, *,
+                    quantiles_x100: Sequence[int] = DECILES
+                    ) -> DataFrame:
+    """(q_x100 int, value bigint): for each requested quantile (x100,
+    e.g. 50 = median, 99 = p99), the smallest value whose cumulative
+    count reaches ceil(q * N)."""
+    qs = sorted(set(int(q) for q in quantiles_x100))
+    if not qs or qs[0] < 1 or qs[-1] > 100:
+        raise ValueError(
+            f"exact_quantiles: quantiles_x100 must be non-empty ints "
+            f"in [1, 100], got {list(quantiles_x100)!r}")
+
+    counts = (df.filter(F.col(col).isNotNull())
+              .select(F.col(col).cast("bigint").alias("value"))
+              .groupBy("value")
+              .agg(F.count(F.lit(1)).alias("n")))
+    # single-partition window over the COMPACT value table (see module
+    # docstring) — not over corpus rows
+    w = (Window.orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.orderBy("value")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = counts.select(
+        "value",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(w_all).alias("N"))
+
+    qdf = df.sparkSession.createDataFrame([(q,) for q in qs],
+                                          "q_x100 int")
+    # exact ceil(q * N / 100) in integers; the theta-join is
+    # (quantile rows) x (compact value table) under a broadcast —
+    # constant work
+    return (cum.join(
+        F.broadcast(qdf),
+        F.col("cum") * 100 >= F.col("q_x100") * F.col("N"))
+        .groupBy("q_x100")
+        .agg(F.min("value").alias("value")))

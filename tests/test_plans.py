@@ -291,6 +291,20 @@ def test_hll_map_side_combine(spark):
     assert "Join" not in p and "Window" not in p
 
 
+def test_quantiles_value_domain_plan(spark):
+    """exact_quantiles at 100 TB: the ONLY corpus-wide work is the
+    map-side-combinable (value, count) aggregate (partial_count below
+    its exchange); the cumulative window and the theta-join run on
+    the compact value table. No global row sort: exactly one Sort
+    node (the window's, over the aggregate output) and it sits ABOVE
+    the final aggregate exchange."""
+    p = _plan(em.q_corpus_quantiles(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p, p[:800]
+    assert p.count("Sort ") == 1, p[:800]
+    assert "BroadcastNestedLoopJoin" in p, p[:800]
+
+
 def test_quota_sample_window_group_limit(spark):
     """quota_sample at 100 TB: the rank<=K filter must ride Spark's
     InferWindowGroupLimit rewrite — a partial top-K BEFORE the

@@ -1,0 +1,56 @@
+"""Exact quantiles (operators/quantiles.py): percentile_disc parity
+with a pure-Python replica, NULL exclusion, duplicates, empty input,
+and validation."""
+
+import math
+
+import pytest
+
+from racket_linkeddata_spark.operators.quantiles import exact_quantiles
+
+
+def _replica(values, qs):
+    vals = sorted(v for v in values if v is not None)
+    n = len(vals)
+    return {q: vals[max(math.ceil(q * n / 100), 1) - 1]
+            for q in qs} if n else {}
+
+
+@pytest.mark.parametrize("values", [
+    list(range(1, 101)),                    # uniform 1..100
+    [5] * 10,                               # all equal
+    [1, 1, 1, 2, 3, 100, None, None],       # skew + NULLs
+    [7],                                    # single row
+    [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],      # dups, unsorted
+])
+def test_matches_replica(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    qs = (1, 10, 25, 50, 75, 90, 99, 100)
+    got = {r.q_x100: r.value
+           for r in exact_quantiles(df, "x",
+                                    quantiles_x100=qs).collect()}
+    assert got == _replica(values, qs)
+
+
+def test_median_semantics(spark):
+    """Even count: percentile_disc(0.5) is the LOWER middle element
+    (ceil(0.5 * 4) = 2nd of 4)."""
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    got = {r.q_x100: r.value
+           for r in exact_quantiles(df, "x",
+                                    quantiles_x100=[50]).collect()}
+    assert got == {50: 2}
+
+
+def test_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "x long")
+    assert exact_quantiles(empty, "x").collect() == []
+    nulls = spark.createDataFrame([(None,), (None,)], "x long")
+    assert exact_quantiles(nulls, "x").collect() == []
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    for bad in ([], [0], [101]):
+        with pytest.raises(ValueError, match="quantiles_x100"):
+            exact_quantiles(df, "x", quantiles_x100=bad)
