@@ -2446,6 +2446,32 @@ SELECT 6::INT AS p, 64::BIGINT AS m,
 FROM a"""
 
 
+_SPLIT_RECIPE = {"train": 980, "val": 10, "test": 10}
+
+
+def q_text_split(spark, sf_dir):
+    """Deterministic train/val/test partition (mixture.split_corpus):
+    salted-md5 hex ranges over sorted split names, per-mille integer
+    shares summing to exactly 1000 — map-only when-chain, no shuffle.
+    The oracle CASE is generated from the SAME split_thresholds table
+    so the two engines compare identical strings."""
+    from racket_linkeddata_spark.operators.mixture import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir), _SPLIT_RECIPE) \
+        .select("doc_id", "split")
+
+
+def _oracle_split() -> str:
+    from racket_linkeddata_spark.operators.mixture import (
+        split_thresholds)
+    ths = split_thresholds(_SPLIT_RECIPE)
+    key = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    whens = " ".join(f"WHEN {key} < '{up}' THEN '{name}'"
+                     for name, up in ths[:-1])
+    return (f"SELECT doc_id, CASE {whens} ELSE '{ths[-1][0]}' END "
+            f"AS split FROM documents")
+
+
 def q_corpus_quantiles(spark, sf_dir):
     """Exact document-length deciles (operators/quantiles.py):
     percentile_disc over the VALUE DOMAIN — a map-side-combinable
@@ -2589,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_summary": q_sketch_hll_summary,
         "corpus_quantiles": q_corpus_quantiles,
+        "text_split": q_text_split,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -3007,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_HLL_REGS_SQL} SELECT bucket, register FROM regs",
         "sketch_hll_summary": _oracle_hll_summary(),
         "corpus_quantiles": _ORACLE_QUANTILES,
+        "text_split": _oracle_split(),
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

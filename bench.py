@@ -136,7 +136,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_tfidf", "text_textrank",
                  "sketch_hll_summary", "corpus_quantiles",
-                 "text_quota_sample",
+                 "text_split", "text_quota_sample",
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",

@@ -90,6 +90,7 @@ def _lazy_spark():
         mixture_sample,
         mixture_stats,
         quota_sample,
+        split_corpus,
     )
     from .operators.packing import (
         pack_greedy,
@@ -137,7 +138,7 @@ _SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "blocklist_annotate", "blocklist_filter",
                  "blocklist_stats",
                  "mixture_sample", "mixture_stats", "quota_sample",
-                 "epoch_upsample",
+                 "epoch_upsample", "split_corpus",
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal",
                  "term_scores", "tfidf_topk",
@@ -179,7 +180,7 @@ __all__ = [
     "fuzzy_contamination", "fuzzy_decontaminate",
     "blocklist_annotate", "blocklist_filter", "blocklist_stats",
     "mixture_sample", "mixture_stats", "quota_sample",
-    "epoch_upsample",
+    "epoch_upsample", "split_corpus",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
     "term_scores", "tfidf_topk",

@@ -242,3 +242,61 @@ def epoch_upsample(docs: DataFrame, weights: Dict[str, float], *,
     return (docs
             .withColumn("epoch", F.explode(epochs))
             .withColumn("epoch", F.col("epoch").cast("bigint")))
+
+
+def split_thresholds(splits: Dict[str, int]) -> list:
+    """[(name, upper_hex)] cumulative range bounds for split_corpus —
+    shared by the Spark operator and the SQL oracle generator so the
+    two engines compare identical strings (the weight_threshold
+    pattern). The LAST split has no bound (it absorbs the top range
+    and, by when-chain fallthrough, NULL ids)."""
+    names = sorted(splits)
+    if len(names) < 2:
+        raise ValueError(
+            f"split_corpus: need >= 2 splits, got {names!r}")
+    for name in names:
+        w = splits[name]
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+            raise ValueError(
+                f"split_corpus: weights are positive integer "
+                f"per-mille shares, got {name!r}: {w!r}")
+    if sum(splits.values()) != 1000:
+        raise ValueError(
+            f"split_corpus: per-mille shares must sum to 1000, got "
+            f"{sum(splits.values())} from {splits!r}")
+    out, cum = [], 0
+    for name in names[:-1]:
+        cum += splits[name]
+        out.append((name, format(cum * _SPACE // 1000, "08x")))
+    out.append((names[-1], None))
+    return out
+
+
+def split_corpus(docs: DataFrame, splits: Dict[str, int], *,
+                 salt: str = "split",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic disjoint train/val/test partitioning: input
+    columns + a ``split`` string column. Per-mille integer shares
+    (e.g. {'train': 980, 'val': 10, 'test': 10}) MUST sum to exactly
+    1000 — the assignment is a partition, nothing dropped, nothing
+    duplicated.
+
+    Assignment is the salted-md5 range rule: the first 8 hex chars of
+    md5(id || salt) land in cumulative ranges over the sorted split
+    names. Deterministic in the id (reruns and audits agree), SALTED
+    so membership is independent of the mixture_sample/epoch_upsample
+    keys (a doc subsampled at rate w is not biased into one split —
+    the epoch_upsample rationale). A NULL id hashes to NULL, fails
+    every range compare, and falls through to the lexicographically
+    last split — deterministic, documented, never dropped.
+
+    100 TB shape: pure map-only column algebra (a when-chain over the
+    recipe), no join, no shuffle, whole-stage codegen."""
+    ths = split_thresholds(splits)
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 8)
+    out = F.lit(ths[-1][0])
+    for name, upper in reversed(ths[:-1]):
+        out = F.when(key < F.lit(upper), F.lit(name)).otherwise(out)
+    return docs.withColumn("split", out)

@@ -360,3 +360,53 @@ def test_fuzzy_contamination_honors_id_col(spark, fuzzy_docs):
             renamed.withColumnRenamed("page_id", "bench_id"),
             bench_r.withColumnRenamed("page_id", "bench_id"),
             id_col="bench_id")
+
+
+def test_split_corpus_partition_and_replica(spark):
+    """Disjoint deterministic partition: replica parity on the exact
+    hex-range rule, shares track the recipe, NULL id falls to the last
+    split, rerun-stable."""
+    import hashlib
+    from racket_linkeddata_spark.operators.mixture import (
+        split_corpus, split_thresholds)
+
+    rows = [(i,) for i in range(2000)] + [(None,)]
+    d = spark.createDataFrame(rows, "doc_id long")
+    recipe = {"train": 980, "val": 10, "test": 10}
+    got = {r.doc_id: r.split for r in split_corpus(d, recipe).collect()}
+
+    ths = split_thresholds(recipe)
+
+    def assign(i):
+        if i is None:
+            return ths[-1][0]
+        k = hashlib.md5(f"{i}split".encode()).hexdigest()[:8]
+        for name, up in ths[:-1]:
+            if k < up:
+                return name
+        return ths[-1][0]
+
+    assert got == {i: assign(i) for i, in rows}
+    assert got[None] == "val"  # lexicographically last split
+    # shares: 2000 ids at 98/1/1 per-cent
+    from collections import Counter
+    c = Counter(got.values())
+    assert 1900 < c["train"] <= 2000 and c["val"] >= 1 and c["test"] >= 1
+    # rerun-stable
+    again = {r.doc_id: r.split
+             for r in split_corpus(d, recipe).collect()}
+    assert again == got
+
+
+def test_split_corpus_validation(spark):
+    from racket_linkeddata_spark.operators.mixture import split_corpus
+
+    d = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="need >= 2"):
+        split_corpus(d, {"train": 1000})
+    with pytest.raises(ValueError, match="sum to 1000"):
+        split_corpus(d, {"a": 500, "b": 400})
+    with pytest.raises(ValueError, match="positive integer"):
+        split_corpus(d, {"a": 999.5, "b": 0.5})
+    with pytest.raises(ValueError, match="positive integer"):
+        split_corpus(d, {"a": 1000, "b": 0})
