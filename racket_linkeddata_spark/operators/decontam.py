@@ -152,10 +152,11 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, *,
     signatures (docs shorter than ``n`` tokens) are excluded on both
     sides by construction — see _bands_for."""
     _validate_banding(k, bands)
-    if id_col == "bench_id":
+    if id_col in ("bench_id", "n_shared_bands"):
         raise ValueError(
-            "fuzzy_contamination: id_col cannot be 'bench_id' (the "
-            "output pairs it with the benchmark id column)")
+            f"fuzzy_contamination: id_col cannot be {id_col!r} — it "
+            f"would collide with the other output columns "
+            f"(bench_id, n_shared_bands)")
     cb = _bands_for(docs, n, k, bands, text_col, id_col, "doc_id")
     bb = _bands_for(benchmark, n, k, bands, text_col, id_col,
                     "bench_id")

@@ -292,6 +292,12 @@ def split_corpus(docs: DataFrame, splits: Dict[str, int], *,
 
     100 TB shape: pure map-only column algebra (a when-chain over the
     recipe), no join, no shuffle, whole-stage codegen."""
+    if "split" in docs.columns:
+        # silently overwriting an existing assignment would be
+        # undetectable data loss downstream (the epoch_upsample
+        # 'epoch' convention; review r06f)
+        raise ValueError("input already has a 'split' column — "
+                         "split_corpus emits it as the assignment")
     ths = split_thresholds(splits)
     key = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),

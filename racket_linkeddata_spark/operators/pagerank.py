@@ -67,9 +67,16 @@ def pagerank(edges: DataFrame, *, iterations: int = 5,
         raise ValueError(f"pagerank: scale must be >= 1, got {scale}")
 
     if weight_col is not None:
-        dt = dict(edges.dtypes).get(weight_col)
-        if dt is None or any(t in dt for t in
-                             ("float", "double", "decimal")):
+        # Spark-resolved dtype — a dict(dtypes) lookup is
+        # case-sensitive while column resolution is not (review r06f)
+        try:
+            dt = (edges.select(F.col(weight_col))
+                  .schema[0].dataType.simpleString())
+        except Exception as exc:
+            raise ValueError(
+                f"pagerank: weight_col {weight_col!r} not found in "
+                f"edges ({edges.columns})") from exc
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
             raise ValueError(
                 f"pagerank: weight_col {weight_col!r} must be an "
                 f"integral column (got {dt}); rescale fractional "

@@ -165,20 +165,23 @@ def pq_encode(embeddings: DataFrame, *, m: int = 8, k: int = 16,
 
 def _checked_query(queries: DataFrame, dim: int, scale: int,
                    id_col: str, vec_col: str, what: str) -> DataFrame:
-    """(query_id, qq) with a loud runtime dim guard.  The corpus-side
-    encode UDF validates dimensions, but the query side is pure column
-    algebra — a short/NULL query vector would slice to NULL partial
-    distances that F.sum silently skips, yielding plausible-but-wrong
-    rankings instead of an error (review r06e)."""
+    """(query_id, qq) with a loud runtime dim + NULL-element guard.
+    The corpus-side encode UDF validates dimensions, but the query
+    side is pure column algebra — a short/NULL query vector, or a
+    dim-correct one CONTAINING a NULL element (r06f), would slice to
+    NULL partial distances that F.sum silently skips, yielding
+    plausible-but-wrong rankings instead of an error."""
     sz = F.size(F.col(vec_col))
+    has_null = F.exists(F.col(vec_col), lambda x: x.isNull())
     qq = _quantize_col(vec_col, scale)
     return queries.select(
         F.col(id_col).cast("long").alias("query_id"),
-        F.when(sz == F.lit(dim), qq)
+        F.when((sz == F.lit(dim)) & ~has_null, qq)
         .otherwise(F.raise_error(F.concat(
             F.lit(f"{what}: query vector dim "),
-            sz.cast("string"),
-            F.lit(f" != codebook dim {dim}")))).alias("qq"))
+            F.coalesce(sz.cast("string"), F.lit("NULL")),
+            F.lit(f" != codebook dim {dim}, or NULL element present"))))
+        .alias("qq"))
 
 
 def _codebook_df(spark, cb: np.ndarray) -> DataFrame:

@@ -42,11 +42,26 @@ def exact_quantiles(df: DataFrame, col: str, *,
     """(q_x100 int, value bigint): for each requested quantile (x100,
     e.g. 50 = median, 99 = p99), the smallest value whose cumulative
     count reaches ceil(q * N)."""
-    qs = sorted(set(int(q) for q in quantiles_x100))
-    if not qs or qs[0] < 1 or qs[-1] > 100:
+    bad = [q for q in quantiles_x100
+           if not isinstance(q, int) or isinstance(q, bool)]
+    qs = sorted(set(quantiles_x100)) if not bad else []
+    if bad or not qs or qs[0] < 1 or qs[-1] > 100:
+        # int(q) coercion would silently hand back p99 for a requested
+        # 99.5 — reject instead (review r06f)
         raise ValueError(
             f"exact_quantiles: quantiles_x100 must be non-empty ints "
             f"in [1, 100], got {list(quantiles_x100)!r}")
+    # Spark-resolved dtype (case-insensitive, like the column ref
+    # itself): a fractional column would silently TRUNCATE under the
+    # bigint cast while a SQL replica's ::BIGINT ROUNDS — the repo's
+    # documented floor-vs-CAST divergence. Integral domains only
+    # (review r06f).
+    dt = df.select(F.col(col)).schema[0].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"exact_quantiles: column {col!r} must be integral "
+            f"(got {dt}); bucket or scale fractional measures to "
+            f"integers first")
 
     counts = (df.filter(F.col(col).isNotNull())
               .select(F.col(col).cast("bigint").alias("value"))

@@ -410,3 +410,26 @@ def test_split_corpus_validation(spark):
         split_corpus(d, {"a": 999.5, "b": 0.5})
     with pytest.raises(ValueError, match="positive integer"):
         split_corpus(d, {"a": 1000, "b": 0})
+
+
+def test_fuzzy_id_col_output_collisions_rejected(spark):
+    """id_col colliding with EITHER output column is a plan-time
+    ValueError, not an ambiguous-reference AnalysisException deep in
+    the plan (review r06f extended the r06e bench_id guard)."""
+    from racket_linkeddata_spark.operators.decontam import (
+        fuzzy_contamination)
+
+    d = spark.createDataFrame([(1, "some text here")],
+                              "n_shared_bands long, text string")
+    with pytest.raises(ValueError, match="n_shared_bands"):
+        fuzzy_contamination(d, d, id_col="n_shared_bands")
+
+
+def test_split_corpus_rejects_existing_split_column(spark):
+    """Silently overwriting a prior assignment is undetectable data
+    loss — rejected like epoch_upsample's 'epoch' (review r06f)."""
+    from racket_linkeddata_spark.operators.mixture import split_corpus
+
+    d = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    with pytest.raises(ValueError, match="already has a 'split'"):
+        split_corpus(d, {"a": 500, "b": 500})

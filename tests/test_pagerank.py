@@ -151,3 +151,15 @@ def test_null_endpoints_rejected(spark):
         bad = spark.createDataFrame(rows, "src string, dst string")
         with pytest.raises(Exception, match="NULL src/dst"):
             pagerank(bad, iterations=1).collect()
+
+
+def test_weight_col_case_insensitive_and_missing(spark):
+    """dtype validation resolves the column like Spark does —
+    an uppercase ref to a lowercase integral column works; a missing
+    column is a clean plan-time ValueError (review r06f)."""
+    e = spark.createDataFrame(EDGES, "src string, dst string, w int")
+    got = {r.node: r.rank for r in
+           pagerank(e, iterations=1, weight_col="W").collect()}
+    assert got == _pr_replica(EDGES, 1)
+    with pytest.raises(ValueError, match="not found"):
+        pagerank(e, weight_col="nope")

@@ -249,3 +249,16 @@ def test_ivf_pq_validation(spark):
         ivf_pq_topk(e, e.limit(1), 5, m=7)
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_pq_topk(e.filter(F.lit(False)), e.limit(1), 5)
+
+
+def test_query_null_element_raises(spark):
+    """A dim-correct query vector CONTAINING a NULL element is the
+    same silent-skip failure as a short one — guarded (review r06f)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 60)
+    vec = [0.5] * 64
+    vec[7] = None
+    bad_q = spark.createDataFrame(
+        [(1, vec)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL element"):
+        pq_topk(e, bad_q, 3).collect()

@@ -54,3 +54,28 @@ def test_validation(spark):
     for bad in ([], [0], [101]):
         with pytest.raises(ValueError, match="quantiles_x100"):
             exact_quantiles(df, "x", quantiles_x100=bad)
+
+
+def test_fractional_inputs_rejected(spark):
+    """Fractional columns would truncate in Spark but round in a SQL
+    ::BIGINT replica (the repo's floor-vs-CAST divergence) — rejected
+    at plan time; fractional quantile requests are rejected too, not
+    silently truncated to the floor percentile (review r06f)."""
+    dbl = spark.createDataFrame([(1.9,), (2.6,)], "x double")
+    with pytest.raises(ValueError, match="must be integral"):
+        exact_quantiles(dbl, "x")
+    ints = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="quantiles_x100"):
+        exact_quantiles(ints, "x", quantiles_x100=[99.5])
+    with pytest.raises(ValueError, match="quantiles_x100"):
+        exact_quantiles(ints, "x", quantiles_x100=[True])
+
+
+def test_case_insensitive_column(spark):
+    """Column resolution follows Spark's (case-insensitive by
+    default), not a case-sensitive dict lookup (review r06f)."""
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    got = {r.q_x100: r.value
+           for r in exact_quantiles(df, "X",
+                                    quantiles_x100=[50]).collect()}
+    assert got == {50: 1}
