@@ -2446,6 +2446,61 @@ SELECT 6::INT AS p, 64::BIGINT AS m,
 FROM a"""
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): every click joined to the
+    user's most recent prior-or-simultaneous view. Spark has no
+    native ASOF JOIN; this is the tagged-union + last-non-null
+    running-window composition — ONE shuffle on the key, no range
+    cross product. The oracle is DuckDB's NATIVE ASOF LEFT JOIN (an
+    independent industry-semantics implementation, not a replica of
+    our plan), with the same max-event_id tie rule on duplicate
+    (user, ts) right rows."""
+    from racket_linkeddata_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "value"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("value").alias("view_value"), "event_id"))
+    out = asof_join(left, right, value_cols=["view_value"],
+                    seq_col="event_id")
+    # tz-free integer micros (events.ts is TIMESTAMP_NTZ; unix_micros
+    # wants TIMESTAMP and the driver compare cannot sort NULLable
+    # datetimes) — micros since a fixed NTZ epoch in BOTH engines
+    us = ("timestampdiff(MICROSECOND, "
+          "TIMESTAMP_NTZ '2024-01-01 00:00:00', {c})")
+    # unmatched rows: -1 sentinels, not NULLs — the value compare
+    # cannot sort a NULLable numeric column (NULL normalizes to a
+    # string); ts is never NULL in events, match columns can be
+    return out.select(
+        "event_id", "user_id",
+        F.expr(us.format(c="ts")).alias("ts_us"), "value",
+        F.coalesce("view_value", F.lit(-1.0)).alias("view_value"),
+        F.coalesce(F.expr(us.format(c="asof_ts")), F.lit(-1))
+        .cast("bigint").alias("asof_ts_us"))
+
+
+_ORACLE_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'click'),
+r0 AS (SELECT user_id, ts, value AS view_value, event_id FROM events
+       WHERE event_type = 'view'),
+r AS (SELECT user_id, ts, view_value FROM r0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1)
+SELECT l.event_id, l.user_id,
+       date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',
+                 l.ts) AS ts_us,
+       l.value,
+       coalesce(r.view_value, -1.0) AS view_value,
+       coalesce(date_diff('microsecond',
+                          TIMESTAMP '2024-01-01 00:00:00', r.ts),
+                -1)::BIGINT AS asof_ts_us
+FROM l ASOF LEFT JOIN r
+ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 _SPLIT_RECIPE = {"train": 980, "val": 10, "test": 10}
 
 
@@ -2616,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_summary": q_sketch_hll_summary,
         "corpus_quantiles": q_corpus_quantiles,
         "text_split": q_text_split,
+        "events_asof": q_events_asof,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -3035,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_summary": _oracle_hll_summary(),
         "corpus_quantiles": _ORACLE_QUANTILES,
         "text_split": _oracle_split(),
+        "events_asof": _ORACLE_ASOF,
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

@@ -142,7 +142,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",
                  "ann_ivf_pq_topk",
                  "multimodal_frames", "tpch_q1", "tpch_join",
-                 "events_window"]:
+                 "events_window", "events_asof"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 
     spark.stop()

@@ -82,6 +82,7 @@ def _lazy_spark():
         textrank_scores,
         token_cooccurrence_edges,
     )
+    from .operators.asof import asof_join
     from .operators.quantiles import exact_quantiles
     from .operators.sketch import hll_registers, hll_summary
     from .operators.tfidf import term_scores, tfidf_topk
@@ -145,6 +146,7 @@ _SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "pagerank", "textrank_scores",
                  "token_cooccurrence_edges",
                  "hll_registers", "hll_summary", "exact_quantiles",
+                 "asof_join",
                  "prep_corpus")
 
 
@@ -186,5 +188,6 @@ __all__ = [
     "term_scores", "tfidf_topk",
     "pagerank", "textrank_scores", "token_cooccurrence_edges",
     "hll_registers", "hll_summary", "exact_quantiles",
+    "asof_join",
     "prep_corpus",
 ]

@@ -305,6 +305,19 @@ def test_quantiles_value_domain_plan(spark):
     assert "BroadcastNestedLoopJoin" in p, p[:800]
 
 
+def test_asof_one_shuffle_no_range_join(spark):
+    """asof_join at 100 TB: the tagged-union + running-window
+    composition — exactly ONE hash exchange (on the key), no
+    sort-merge/broadcast RANGE join, no cross product, all-JVM."""
+    p = _plan(em.q_events_asof(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in p, (node, p[:500])
+    assert p.count("Exchange hashpartitioning") == 1, p[:800]
+    assert "Window" in p and "Union" in p
+
+
 def test_quota_sample_window_group_limit(spark):
     """quota_sample at 100 TB: the rank<=K filter must ride Spark's
     InferWindowGroupLimit rewrite — a partial top-K BEFORE the
