@@ -2527,6 +2527,36 @@ def _oracle_split() -> str:
             f"AS split FROM documents")
 
 
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch state over the corpus token stream
+    (operators/sketch.py): depth md5-salted hashes per token, one
+    map-side-combinable (row, col) count aggregate — at most
+    width*depth rows for any corpus size; estimates never
+    underestimate. Value-exact vs the SQL replica."""
+    from racket_linkeddata_spark.operators.lmscore import _tokens
+    from racket_linkeddata_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(_tokens(_docs(spark, sf_dir), "text", "doc_id"),
+                      "token", width=256, depth=4)
+
+
+_ORACLE_CMS = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           x -> x <> '')) AS token
+  FROM documents),
+cells AS (
+  SELECT unnest(list_transform(range(0, 4), i -> {
+           'r': i,
+           'c': CAST('0x' || substr(md5(token || ':' || i), 1, 8)
+                     AS BIGINT) % 256})) AS cell
+  FROM toks)
+SELECT CAST(cell.r AS INT) AS "row", cell.c AS col,
+       count(*)::BIGINT AS cnt
+FROM cells GROUP BY cell.r, cell.c"""
+
+
 def q_corpus_quantiles(spark, sf_dir):
     """Exact document-length deciles (operators/quantiles.py):
     percentile_disc over the VALUE DOMAIN — a map-side-combinable
@@ -2672,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "text_split": q_text_split,
         "events_asof": q_events_asof,
+        "sketch_cms": q_sketch_cms,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -3092,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quantiles": _ORACLE_QUANTILES,
         "text_split": _oracle_split(),
         "events_asof": _ORACLE_ASOF,
+        "sketch_cms": _ORACLE_CMS,
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

@@ -84,7 +84,12 @@ def _lazy_spark():
     )
     from .operators.asof import asof_join
     from .operators.quantiles import exact_quantiles
-    from .operators.sketch import hll_registers, hll_summary
+    from .operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        hll_registers,
+        hll_summary,
+    )
     from .operators.tfidf import term_scores, tfidf_topk
     from .operators.mixture import (
         epoch_upsample,
@@ -146,7 +151,7 @@ _SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "pagerank", "textrank_scores",
                  "token_cooccurrence_edges",
                  "hll_registers", "hll_summary", "exact_quantiles",
-                 "asof_join",
+                 "cms_sketch", "cms_estimate", "asof_join",
                  "prep_corpus")
 
 
@@ -188,6 +193,6 @@ __all__ = [
     "term_scores", "tfidf_topk",
     "pagerank", "textrank_scores", "token_cooccurrence_edges",
     "hll_registers", "hll_summary", "exact_quantiles",
-    "asof_join",
+    "cms_sketch", "cms_estimate", "asof_join",
     "prep_corpus",
 ]

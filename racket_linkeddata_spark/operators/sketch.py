@@ -1,4 +1,5 @@
-"""HyperLogLog distinct-count sketch — DETERMINISTIC by construction
+"""Deterministic sketches: HyperLogLog (distinct count) and count-min
+(frequency). Both are DETERMINISTIC by construction
 (md5-derived hashes, integer-exact registers and estimate) so the
 whole sketch, not just its answer, is SQL-replicable and testable:
 
@@ -55,6 +56,58 @@ def _validate(p: int):
         raise ValueError(
             f"hll: p must be in [4, 10] (m = 16..1024 buckets; the "
             f"estimate numerator literal must fit int64), got {p}")
+
+
+def _cms_hash(col: str, i: int, width: int):
+    """Hash row i: md5 over the value salted with the row index —
+    d independent hash functions, identical bytes in every engine."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.col(col).cast("string"), F.lit(f":{i}"))),
+        1, 8), 16, 10).cast("bigint") % F.lit(width))
+
+
+def _validate_cms(width: int, depth: int):
+    if width < 2 or depth < 1 or depth > 16:
+        raise ValueError(
+            f"cms: need width >= 2 and depth in [1, 16], got "
+            f"width={width}, depth={depth}")
+
+
+def cms_sketch(df: DataFrame, col: str, *, width: int = 256,
+               depth: int = 4) -> DataFrame:
+    """Count-min sketch state: (row, col, cnt) — at most width*depth
+    rows for any corpus size. Frequency estimates (cms_estimate) are
+    never UNDER the true count; collisions only inflate. NULL values
+    are skipped. Deterministic md5 hashing makes the whole state
+    SQL-replicable, like hll_registers.
+
+    100 TB shape: one posexplode (depth rows per value) + one
+    map-side-combinable (row, col) count aggregate — constant-size
+    shuffle state per task."""
+    _validate_cms(width, depth)
+    hashes = F.array(*[_cms_hash(col, i, width) for i in range(depth)])
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.posexplode(hashes).alias("row", "col"))
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, *,
+                 width: int = 256, depth: int = 4) -> DataFrame:
+    """(value, estimate) for each probe row: min over the depth rows
+    of the sketch cell each hash lands in (missing cell = 0). The
+    sketch side is the one computed by cms_sketch with the SAME
+    (width, depth). Probes are exploded to depth keys and the tiny
+    probe side broadcasts onto the sketch."""
+    _validate_cms(width, depth)
+    hashes = F.array(*[_cms_hash(col, i, width) for i in range(depth)])
+    keys = (probes.filter(F.col(col).isNotNull())
+            .select(F.col(col).alias("value"),
+                    F.posexplode(hashes).alias("row", "col")))
+    return (keys.join(sketch, ["row", "col"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("estimate")))
 
 
 def hll_registers(df: DataFrame, col: str, *, p: int = 6) -> DataFrame:

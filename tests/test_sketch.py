@@ -132,3 +132,62 @@ def test_p_validation(spark):
             hll_registers(df, "v", p=bad)
         with pytest.raises(ValueError, match="p must be in"):
             hll_summary(df, "v", p=bad)
+
+
+def _cms_replica(values, width, depth):
+    cells = {}
+    for v in values:
+        if v is None:
+            continue
+        for i in range(depth):
+            h = int(hashlib.md5(f"{v}:{i}".encode())
+                    .hexdigest()[:8], 16) % width
+            cells[(i, h)] = cells.get((i, h), 0) + 1
+    return cells
+
+
+def test_cms_sketch_matches_replica(spark):
+    from racket_linkeddata_spark.operators.sketch import cms_sketch
+
+    vals = ["the"] * 50 + ["cat"] * 7 + [None] + \
+        [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {(r.row, r.col): r.cnt
+           for r in cms_sketch(df, "v", width=64, depth=3).collect()}
+    assert got == _cms_replica(vals, 64, 3)
+
+
+def test_cms_estimate_never_underestimates(spark):
+    from racket_linkeddata_spark.operators.sketch import (
+        cms_estimate, cms_sketch)
+
+    vals = ["the"] * 50 + ["cat"] * 7 + [f"t{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = cms_sketch(df, "v", width=64, depth=4)
+    probes = spark.createDataFrame(
+        [("the",), ("cat",), ("absent",), (None,)], "v string")
+    got = {r.value: r.estimate
+           for r in cms_estimate(sk, probes, "v",
+                                 width=64, depth=4).collect()}
+    assert set(got) == {"the", "cat", "absent"}  # NULL probe skipped
+    truth = {"the": 50, "cat": 7, "absent": 0}
+    cells = _cms_replica(vals, 64, 4)
+    for v, t in truth.items():
+        exp = min(cells.get(
+            (i, int(hashlib.md5(f"{v}:{i}".encode())
+                    .hexdigest()[:8], 16) % 64), 0)
+            for i in range(4))
+        assert got[v] == exp       # exact replica parity
+        assert got[v] >= t         # the CMS one-sided guarantee
+
+
+def test_cms_validation(spark):
+    from racket_linkeddata_spark.operators.sketch import (
+        cms_estimate, cms_sketch)
+
+    df = spark.createDataFrame([("x",)], "v string")
+    for kw in ({"width": 1}, {"depth": 0}, {"depth": 17}):
+        with pytest.raises(ValueError, match="cms"):
+            cms_sketch(df, "v", **kw)
+        with pytest.raises(ValueError, match="cms"):
+            cms_estimate(df, df, "v", **kw)
