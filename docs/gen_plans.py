@@ -137,6 +137,20 @@ def main():
          "max) aggregate — m rows of state per task regardless of "
          "corpus size — then a constant-size summary aggregate",
          cap(em.q_sketch_hll_summary(spark, sf), 60)),
+        ("As-of join (asof_join): tagged union + last-non-null "
+         "running window — exactly ONE hash exchange on the key, no "
+         "range join, no cross product (DuckDB's native ASOF JOIN is "
+         "the oracle)",
+         cap(em.q_events_asof(spark, sf), 60)),
+        ("Count-min sketch (cms_sketch): depth hash rows per value, "
+         "one map-side-combinable (row, col) count aggregate — at "
+         "most width*depth rows of state",
+         cap(em.q_sketch_cms(spark, sf), 40)),
+        ("Exact quantiles (exact_quantiles): value-domain aggregation "
+         "— the only corpus-wide work is the (value, count) "
+         "aggregate; ONE Sort node (over the compact value table), "
+         "never a global row sort",
+         cap(em.q_corpus_quantiles(spark, sf), 60)),
     ]
     with open(os.path.join(HERE, "PLANS.md"), "w") as f:
         f.write("# Physical plans (captured via .explain('formatted') "
