@@ -46,8 +46,7 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     ``asof_ts`` (its timestamp; NULL when no right row precedes)."""
     if not value_cols:
         raise ValueError("asof_join: value_cols must be non-empty")
-    internal = {"_asof_is_left", "_asof_seq", "_asof_ts_fill"} \
-        | {f"_asof_{c}" for c in value_cols}
+    internal = {"_asof_is_left", "_asof_seq", "_asof_match"}
     clash = ((set(value_cols) | {"asof_ts"} | internal)
              & set(left.columns))
     if clash:
@@ -58,6 +57,13 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         if c not in right.columns:
             raise ValueError(f"asof_join: right side lacks {c!r} "
                              f"(has {right.columns})")
+    for c in (by, on):
+        # unionByName(allowMissingColumns) would silently fill a
+        # missing LEFT key/ts with NULL and return 100% unmatched
+        # rows instead of erroring (review r06g)
+        if c not in left.columns:
+            raise ValueError(f"asof_join: left side lacks {c!r} "
+                             f"(has {left.columns})")
 
     tag = "_asof_is_left"
     # carry the right timestamp separately: the left rows' own `on`
@@ -82,14 +88,22 @@ def asof_join(left: DataFrame, right: DataFrame, *,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
     is_right = F.col(tag) == 0
+    # fill ONE struct, not per-column lasts: independent
+    # last(ignorenulls) fills would stitch values from DIFFERENT
+    # right rows whenever the matched row carries a NULL value column
+    # — a composite row matching NO right row, diverging from DuckDB
+    # ASOF which returns the latest row WITH its NULLs (review r06g,
+    # empirically confirmed). The struct is non-NULL for every right
+    # row, so last() always picks whole rows.
+    payload = F.when(is_right, F.struct(
+        F.col("asof_ts").alias("asof_ts"),
+        *[F.col(c).alias(c) for c in value_cols]))
     filled = u.select(
         "*",
-        *[F.last(F.when(is_right, F.col(c)), ignorenulls=True)
-          .over(w).alias(f"_asof_{c}") for c in value_cols],
-        F.last(F.when(is_right, F.col("asof_ts")), ignorenulls=True)
-        .over(w).alias("_asof_ts_fill"))
+        F.last(payload, ignorenulls=True).over(w)
+        .alias("_asof_match"))
     return (filled.filter(F.col(tag) == 1)
             .select(*left.columns,
-                    *[F.col(f"_asof_{c}").alias(c)
+                    *[F.col(f"_asof_match.{c}").alias(c)
                       for c in value_cols],
-                    F.col("_asof_ts_fill").alias("asof_ts")))
+                    F.col("_asof_match.asof_ts").alias("asof_ts")))

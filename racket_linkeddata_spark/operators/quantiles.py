@@ -56,7 +56,12 @@ def exact_quantiles(df: DataFrame, col: str, *,
     # bigint cast while a SQL replica's ::BIGINT ROUNDS — the repo's
     # documented floor-vs-CAST divergence. Integral domains only
     # (review r06f).
-    dt = df.select(F.col(col)).schema[0].dataType.simpleString()
+    try:
+        dt = df.select(F.col(col)).schema[0].dataType.simpleString()
+    except Exception as exc:
+        raise ValueError(
+            f"exact_quantiles: column {col!r} not found "
+            f"(has {df.columns})") from exc
     if dt not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
             f"exact_quantiles: column {col!r} must be integral "

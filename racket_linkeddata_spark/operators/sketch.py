@@ -97,14 +97,17 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, *,
     """(value, estimate) for each probe row: min over the depth rows
     of the sketch cell each hash lands in (missing cell = 0). The
     sketch side is the one computed by cms_sketch with the SAME
-    (width, depth). Probes are exploded to depth keys and the tiny
-    probe side broadcasts onto the sketch."""
+    (width, depth). The SKETCH side broadcasts (it is bounded at
+    width*depth rows by construction; in a left outer join only the
+    right side is broadcastable), so arbitrarily many probes never
+    shuffle (review r06g: the hint was missing and a statsless
+    sketch lineage could fall back to a sort-merge join)."""
     _validate_cms(width, depth)
     hashes = F.array(*[_cms_hash(col, i, width) for i in range(depth)])
     keys = (probes.filter(F.col(col).isNotNull())
             .select(F.col(col).alias("value"),
                     F.posexplode(hashes).alias("row", "col")))
-    return (keys.join(sketch, ["row", "col"], "left")
+    return (keys.join(F.broadcast(sketch), ["row", "col"], "left")
             .groupBy("value")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("estimate")))

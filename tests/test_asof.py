@@ -108,3 +108,43 @@ def test_matches_duckdb_native_asof(spark):
         FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchall()}
     assert got == exp
+
+
+def test_null_value_column_comes_from_matched_row(spark):
+    """DuckDB ASOF parity: the match is the latest row WITH its NULLs
+    — independent per-column last(ignorenulls) fills would stitch a
+    composite row matching NO right row (review r06g, the struct-fill
+    fix)."""
+    l = spark.createDataFrame([(1, "u", 20)],
+                              "click_id long, user_id string, ts long")
+    r = spark.createDataFrame(
+        [("u", 5, "a", "x"), ("u", 10, None, "y")],
+        "user_id string, ts long, page string, other string")
+    got = asof_join(l, r, value_cols=["page", "other"]).collect()[0]
+    # the ts=10 row wins ENTIRELY: page NULL (its own), other 'y'
+    assert (got.page, got.other, got.asof_ts) == (None, "y", 10)
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame([(1, "u", 20)],
+                                   columns=["click_id", "user_id",
+                                            "ts"]))
+    con.register("r", pd.DataFrame(
+        [("u", 5, "a", "x"), ("u", 10, None, "y")],
+        columns=["user_id", "ts", "page", "other"]))
+    page, other, ts = con.sql("""
+        SELECT r.page, r.other, r.ts FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchone()
+    assert (got.page, got.other, got.asof_ts) == (page, other, ts)
+
+
+def test_left_side_missing_key_rejected(spark, dfs):
+    """A missing left by/on column would be NULL-filled by
+    unionByName and return 100% unmatched rows silently — rejected
+    loudly (review r06g)."""
+    l, r = dfs
+    with pytest.raises(ValueError, match="left side lacks"):
+        asof_join(l.withColumnRenamed("ts", "click_ts"), r,
+                  value_cols=["page"])
+    with pytest.raises(ValueError, match="left side lacks"):
+        asof_join(l.withColumnRenamed("user_id", "uid"), r,
+                  value_cols=["page"])

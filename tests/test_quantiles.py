@@ -79,3 +79,9 @@ def test_case_insensitive_column(spark):
            for r in exact_quantiles(df, "X",
                                     quantiles_x100=[50]).collect()}
     assert got == {50: 1}
+
+
+def test_missing_column_clean_error(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="not found"):
+        exact_quantiles(df, "n_cahrs")
