@@ -2557,6 +2557,42 @@ SELECT CAST(cell.r AS INT) AS "row", cell.c AS col,
 FROM cells GROUP BY cell.r, cell.c"""
 
 
+_CMS_PROBES = ["the", "and", "of", "zz_nonexistent_token"]
+
+
+def q_sketch_cms_estimate(spark, sf_dir):
+    """The CMS estimate face under the driver gate: frequency
+    estimates for a fixed probe list — min over the depth sketch
+    cells, missing cell = 0; the sketch side broadcasts (bounded at
+    width*depth rows by construction)."""
+    from racket_linkeddata_spark.operators.lmscore import _tokens
+    from racket_linkeddata_spark.operators.sketch import (
+        cms_estimate, cms_sketch)
+
+    toks = _tokens(_docs(spark, sf_dir), "text", "doc_id")
+    sk = cms_sketch(toks, "token", width=256, depth=4)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES],
+                                   "token string")
+    return cms_estimate(sk, probes, "token", width=256, depth=4)
+
+
+def _oracle_cms_estimate() -> str:
+    probes = ", ".join(f"'{p}'" for p in _CMS_PROBES)
+    return f"""
+WITH cells AS ({_ORACLE_CMS}),
+probes AS (SELECT unnest([{probes}]) AS value),
+keys AS (
+  SELECT value, unnest(list_transform(range(0, 4), i -> {{
+           'r': i,
+           'c': CAST('0x' || substr(md5(value || ':' || i), 1, 8)
+                     AS BIGINT) % 256}})) AS k
+  FROM probes)
+SELECT value, min(coalesce(cells.cnt, 0))::BIGINT AS estimate
+FROM keys LEFT JOIN cells
+ON CAST(keys.k.r AS INT) = cells."row" AND keys.k.c = cells.col
+GROUP BY value"""
+
+
 def q_corpus_quantiles(spark, sf_dir):
     """Exact document-length deciles (operators/quantiles.py):
     percentile_disc over the VALUE DOMAIN — a map-side-combinable
@@ -2703,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": q_text_split,
         "events_asof": q_events_asof,
         "sketch_cms": q_sketch_cms,
+        "sketch_cms_estimate": q_sketch_cms_estimate,
         "text_quota_sample": q_text_quota_sample,
         "dedup_spans": q_dedup_spans,
         "text_epoch_upsample": q_text_epoch_upsample,
@@ -3124,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "text_split": _oracle_split(),
         "events_asof": _ORACLE_ASOF,
         "sketch_cms": _ORACLE_CMS,
+        "sketch_cms_estimate": _oracle_cms_estimate(),
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,
         "text_epoch_upsample": _oracle_epoch_upsample(),

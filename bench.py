@@ -135,7 +135,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_tfidf", "text_textrank",
-                 "sketch_hll_summary", "sketch_cms", "corpus_quantiles",
+                 "sketch_hll_summary", "sketch_cms",
+                 "sketch_cms_estimate", "corpus_quantiles",
                  "text_split", "text_quota_sample",
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
