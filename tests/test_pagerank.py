@@ -133,7 +133,7 @@ def test_fractional_weights_rejected(spark):
                                  "src string, dst string, w double")
     with pytest.raises(ValueError, match="integral column"):
         pagerank(frac, weight_col="w")
-    with pytest.raises(ValueError, match="integral column"):
+    with pytest.raises(ValueError, match="not found"):
         pagerank(frac, weight_col="no_such_col")
 
     for bad_w in (0, None):

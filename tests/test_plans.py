@@ -291,6 +291,21 @@ def test_hll_map_side_combine(spark):
     assert "Join" not in p and "Window" not in p
 
 
+def test_cms_plans(spark):
+    """CMS at 100 TB: the sketch is one map-side-combinable (row, col)
+    count aggregate, all-JVM, no join; the estimate face joins the
+    probe keys against the BROADCAST sketch (bounded at width*depth
+    rows — only the right side of a left join can broadcast), never a
+    sort-merge join."""
+    p = _plan(em.q_sketch_cms(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "partial_count" in p and "Join" not in p, p[:800]
+
+    p = _plan(em.q_sketch_cms_estimate(spark, SF))
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "SortMergeJoin" not in p, p[:800]
+
+
 def test_quantiles_value_domain_plan(spark):
     """exact_quantiles at 100 TB: the ONLY corpus-wide work is the
     map-side-combinable (value, count) aggregate (partial_count below
