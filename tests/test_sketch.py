@@ -191,3 +191,29 @@ def test_cms_validation(spark):
             cms_sketch(df, "v", **kw)
         with pytest.raises(ValueError, match="cms"):
             cms_estimate(df, df, "v", **kw)
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """CMS composes with Structured Streaming like HLL: counts are
+    commutative, so cms_sketch over micro-batches in complete mode
+    converges to the batch sketch — width*depth rows of state."""
+    from racket_linkeddata_spark.operators.sketch import cms_sketch
+
+    src = str(tmp_path / "cmsvals")
+    batches = [[("the",)] * 10 + [(f"a{i}",) for i in range(20)],
+               [("the",)] * 5 + [(f"b{i}",) for i in range(20)]]
+    for b in batches:
+        spark.createDataFrame(b, "v string").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("v string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (cms_sketch(stream, "v", width=64, depth=3)
+         .writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.row, r.col): r.cnt for r in
+           spark.sql("select * from cms_stream").collect()}
+    all_vals = [v for b in batches for (v,) in b]
+    assert got == _cms_replica(all_vals, 64, 3)
