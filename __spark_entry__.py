@@ -1757,6 +1757,48 @@ def q_tpch_join(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): dim-filtered customer
+    BROADCAST onto orders, orders shuffle-joined to lineitem on the
+    order key, per-order revenue aggregate, top-10 via TakeOrdered on
+    the ROUNDED revenue (round-2 absorbs float summation-order ulps;
+    the tie-break on (o_orderdate, o_orderkey) makes the cut
+    deterministic in both engines)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    j = (F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING"))
+         .join(o, F.col("c_custkey") == F.col("o_custkey"))
+         .filter(F.col("o_orderdate") < cutoff)
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(F.col("l_shipdate") > cutoff))
+    return (j.groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1.0) - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey",
+                    F.col("o_orderdate").cast("string")
+                    .alias("o_orderdate"), "revenue"))
+
+
+_ORACLE_TPCH_Q3 = """
+SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10"""
+
+
 def q_events_window(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -2622,6 +2664,35 @@ FROM cum JOIN qs ON cum * 100 >= q_x100 * N
 GROUP BY q_x100"""
 
 
+def q_corpus_quantiles_by_source(spark, sf_dir):
+    """Per-source document-length deciles: the value-domain quantile
+    shape with the cumulative window partitioned by source — each
+    source's compact value table sorts independently, so the window
+    is no longer single-partition."""
+    from racket_linkeddata_spark.operators.quantiles import (
+        exact_quantiles)
+
+    return exact_quantiles(_docs(spark, sf_dir), "n_chars",
+                           group_col="source")
+
+
+_ORACLE_QUANTILES_BY = """
+WITH counts AS (
+  SELECT source, n_chars::BIGINT AS value, count(*)::BIGINT AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY source, n_chars),
+cum AS (
+  SELECT source, value,
+         sum(n) OVER (PARTITION BY source ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum,
+         sum(n) OVER (PARTITION BY source)::BIGINT AS N
+  FROM counts),
+qs AS (SELECT unnest([10,20,30,40,50,60,70,80,90,100])::INT AS q_x100)
+SELECT source, q_x100, min(value)::BIGINT AS value
+FROM cum JOIN qs ON cum * 100 >= q_x100 * N
+GROUP BY source, q_x100"""
+
+
 def q_text_lm_surprisal(spark, sf_dir):
     """CCNet-shaped frequency-surprisal quality score: integer
     bit-surprisal (floor-log2) of each token against the corpus's own
@@ -2722,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_domain_rollup": q_skew_salted_domain_rollup,
         "tpch_q1": q_tpch_q1,
         "tpch_join": q_tpch_join,
+        "tpch_q3": q_tpch_q3,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
         "text_tokens_bpe": q_text_tokens_bpe,
@@ -2736,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_sketch_hll_registers,
         "sketch_hll_summary": q_sketch_hll_summary,
         "corpus_quantiles": q_corpus_quantiles,
+        "corpus_quantiles_by_source": q_corpus_quantiles_by_source,
         "text_split": q_text_split,
         "events_asof": q_events_asof,
         "sketch_cms": q_sketch_cms,
@@ -3117,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
+        "tpch_q3": _ORACLE_TPCH_Q3,
         "events_window": """
             SELECT user_id, event_type AS first_event
             FROM (SELECT user_id, event_type,
@@ -3158,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
             f"{_HLL_REGS_SQL} SELECT bucket, register FROM regs",
         "sketch_hll_summary": _oracle_hll_summary(),
         "corpus_quantiles": _ORACLE_QUANTILES,
+        "corpus_quantiles_by_source": _ORACLE_QUANTILES_BY,
         "text_split": _oracle_split(),
         "events_asof": _ORACLE_ASOF,
         "sketch_cms": _ORACLE_CMS,

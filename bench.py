@@ -136,13 +136,13 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "train_pack_offsets", "train_pack_greedy",
                  "text_lm_surprisal", "text_tfidf", "text_textrank",
                  "sketch_hll_summary", "sketch_cms",
-                 "sketch_cms_estimate", "corpus_quantiles",
+                 "sketch_cms_estimate", "corpus_quantiles", "corpus_quantiles_by_source",
                  "text_split", "text_quota_sample",
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",
                  "ann_ivf_pq_topk",
-                 "multimodal_frames", "tpch_q1", "tpch_join",
+                 "multimodal_frames", "tpch_q1", "tpch_join", "tpch_q3",
                  "events_window", "events_asof"]:
         timed(name, lambda n=name: queries[n](spark, sf_dir).count())
 

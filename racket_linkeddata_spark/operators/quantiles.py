@@ -37,11 +37,18 @@ DECILES = tuple(range(10, 101, 10))
 
 
 def exact_quantiles(df: DataFrame, col: str, *,
-                    quantiles_x100: Sequence[int] = DECILES
-                    ) -> DataFrame:
+                    quantiles_x100: Sequence[int] = DECILES,
+                    group_col: Optional[str] = None) -> DataFrame:
     """(q_x100 int, value bigint): for each requested quantile (x100,
     e.g. 50 = median, 99 = p99), the smallest value whose cumulative
-    count reaches ceil(q * N)."""
+    count reaches ceil(q * N).
+
+    With ``group_col``, per-group quantiles instead —
+    (group_col, q_x100, value) — same value-domain shape with the
+    cumulative window partitioned by the group (so it is no longer
+    single-partition: each group's compact value table sorts
+    independently). A NULL group is a group like any other (the SQL
+    GROUP BY convention)."""
     bad = [q for q in quantiles_x100
            if not isinstance(q, int) or isinstance(q, bool)]
     qs = sorted(set(quantiles_x100)) if not bad else []
@@ -68,19 +75,21 @@ def exact_quantiles(df: DataFrame, col: str, *,
             f"(got {dt}); bucket or scale fractional measures to "
             f"integers first")
 
+    groups = [group_col] if group_col is not None else []
     counts = (df.filter(F.col(col).isNotNull())
-              .select(F.col(col).cast("bigint").alias("value"))
-              .groupBy("value")
+              .select(*groups, F.col(col).cast("bigint").alias("value"))
+              .groupBy(*groups, "value")
               .agg(F.count(F.lit(1)).alias("n")))
-    # single-partition window over the COMPACT value table (see module
-    # docstring) — not over corpus rows
-    w = (Window.orderBy("value")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_all = (Window.orderBy("value")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
+    # window over the COMPACT value table (see module docstring) —
+    # not over corpus rows; single-partition when ungrouped,
+    # per-group otherwise
+    base = (Window.partitionBy(*groups) if groups else Window) \
+        .orderBy("value")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = base.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
     cum = counts.select(
-        "value",
+        *groups, "value",
         F.sum("n").over(w).alias("cum"),
         F.sum("n").over(w_all).alias("N"))
 
@@ -92,5 +101,5 @@ def exact_quantiles(df: DataFrame, col: str, *,
     return (cum.join(
         F.broadcast(qdf),
         F.col("cum") * 100 >= F.col("q_x100") * F.col("N"))
-        .groupBy("q_x100")
+        .groupBy(*groups, "q_x100")
         .agg(F.min("value").alias("value")))

@@ -85,3 +85,21 @@ def test_missing_column_clean_error(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="not found"):
         exact_quantiles(df, "n_cahrs")
+
+
+def test_grouped_quantiles_match_replica(spark):
+    rows = [("a", v) for v in range(1, 11)] + \
+        [("b", 5)] * 4 + [(None, 7), (None, 9), ("a", None)]
+    df = spark.createDataFrame(rows, "src string, x long")
+    qs = (25, 50, 100)
+    got = {(r.src, r.q_x100): r.value
+           for r in exact_quantiles(df, "x", quantiles_x100=qs,
+                                    group_col="src").collect()}
+    by_group = {}
+    for s, v in rows:
+        if v is not None:
+            by_group.setdefault(s, []).append(v)
+    exp = {(s, q): _replica(vs, qs)[q]
+           for s, vs in by_group.items() for q in qs}
+    assert got == exp
+    assert got[(None, 50)] == 7  # NULL group is a group (SQL GROUP BY)
