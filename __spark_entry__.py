@@ -2569,6 +2569,22 @@ def _oracle_split() -> str:
             f"AS split FROM documents")
 
 
+# ONE place for the sketch dimensions and hash fragment: the query
+# pair and the oracle pair would otherwise desynchronize silently on
+# any retune (review r06h)
+_CMS_WIDTH, _CMS_DEPTH = 256, 4
+_CMS_PROBES = ["the", "and", "of", "zz_nonexistent_token"]
+
+
+def _cms_cells_sql(value_expr: str) -> str:
+    """DuckDB fragment: the depth (r, c) hash cells for a value —
+    mirrors sketch._cms_hash (same ':i' salt, same md5 prefix)."""
+    return (f"unnest(list_transform(range(0, {_CMS_DEPTH}), i -> {{"
+            f"'r': i, "
+            f"'c': CAST('0x' || substr(md5({value_expr} || ':' || i),"
+            f" 1, 8) AS BIGINT) % {_CMS_WIDTH}}}))")
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min sketch state over the corpus token stream
     (operators/sketch.py): depth md5-salted hashes per token, one
@@ -2579,27 +2595,20 @@ def q_sketch_cms(spark, sf_dir):
     from racket_linkeddata_spark.operators.sketch import cms_sketch
 
     return cms_sketch(_tokens(_docs(spark, sf_dir), "text", "doc_id"),
-                      "token", width=256, depth=4)
+                      "token", width=_CMS_WIDTH, depth=_CMS_DEPTH)
 
 
-_ORACLE_CMS = """
+def _oracle_cms() -> str:
+    return f"""
 WITH toks AS (
   SELECT unnest(list_filter(
            regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
            x -> x <> '')) AS token
   FROM documents),
-cells AS (
-  SELECT unnest(list_transform(range(0, 4), i -> {
-           'r': i,
-           'c': CAST('0x' || substr(md5(token || ':' || i), 1, 8)
-                     AS BIGINT) % 256})) AS cell
-  FROM toks)
+cells AS (SELECT {_cms_cells_sql("token")} AS cell FROM toks)
 SELECT CAST(cell.r AS INT) AS "row", cell.c AS col,
        count(*)::BIGINT AS cnt
 FROM cells GROUP BY cell.r, cell.c"""
-
-
-_CMS_PROBES = ["the", "and", "of", "zz_nonexistent_token"]
 
 
 def q_sketch_cms_estimate(spark, sf_dir):
@@ -2612,23 +2621,19 @@ def q_sketch_cms_estimate(spark, sf_dir):
         cms_estimate, cms_sketch)
 
     toks = _tokens(_docs(spark, sf_dir), "text", "doc_id")
-    sk = cms_sketch(toks, "token", width=256, depth=4)
+    sk = cms_sketch(toks, "token", width=_CMS_WIDTH, depth=_CMS_DEPTH)
     probes = spark.createDataFrame([(p,) for p in _CMS_PROBES],
                                    "token string")
-    return cms_estimate(sk, probes, "token", width=256, depth=4)
+    return cms_estimate(sk, probes, "token",
+                        width=_CMS_WIDTH, depth=_CMS_DEPTH)
 
 
 def _oracle_cms_estimate() -> str:
     probes = ", ".join(f"'{p}'" for p in _CMS_PROBES)
     return f"""
-WITH cells AS ({_ORACLE_CMS}),
+WITH cells AS ({_oracle_cms()}),
 probes AS (SELECT unnest([{probes}]) AS value),
-keys AS (
-  SELECT value, unnest(list_transform(range(0, 4), i -> {{
-           'r': i,
-           'c': CAST('0x' || substr(md5(value || ':' || i), 1, 8)
-                     AS BIGINT) % 256}})) AS k
-  FROM probes)
+keys AS (SELECT value, {_cms_cells_sql("value")} AS k FROM probes)
 SELECT value, min(coalesce(cells.cnt, 0))::BIGINT AS estimate
 FROM keys LEFT JOIN cells
 ON CAST(keys.k.r AS INT) = cells."row" AND keys.k.c = cells.col
@@ -3235,7 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quantiles_by_source": _ORACLE_QUANTILES_BY,
         "text_split": _oracle_split(),
         "events_asof": _ORACLE_ASOF,
-        "sketch_cms": _ORACLE_CMS,
+        "sketch_cms": _oracle_cms(),
         "sketch_cms_estimate": _oracle_cms_estimate(),
         "text_quota_sample": _oracle_quota_sample(),
         "dedup_spans": _ORACLE_DEDUP_SPANS,

@@ -29,7 +29,7 @@ brief (length/score distributions before choosing gate thresholds).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -75,9 +75,26 @@ def exact_quantiles(df: DataFrame, col: str, *,
             f"(got {dt}); bucket or scale fractional measures to "
             f"integers first")
 
-    groups = [group_col] if group_col is not None else []
+    if group_col is not None:
+        if group_col in ("q_x100", "value"):
+            raise ValueError(
+                f"exact_quantiles: group_col cannot be {group_col!r} "
+                f"— it collides with the output columns")
+        try:
+            df.select(F.col(group_col))
+        except Exception as exc:
+            raise ValueError(
+                f"exact_quantiles: group_col {group_col!r} not found "
+                f"(has {df.columns})") from exc
+    # the group rides a collision-safe internal alias so a group
+    # column named like a working column (n, cum, N, ...) can never
+    # turn into an AMBIGUOUS_REFERENCE (review r06h; the repo's
+    # collision-safe-working-columns lesson)
+    groups = ["_q_grp"] if group_col is not None else []
+    gsel = ([F.col(group_col).alias("_q_grp")]
+            if group_col is not None else [])
     counts = (df.filter(F.col(col).isNotNull())
-              .select(*groups, F.col(col).cast("bigint").alias("value"))
+              .select(*gsel, F.col(col).cast("bigint").alias("value"))
               .groupBy(*groups, "value")
               .agg(F.count(F.lit(1)).alias("n")))
     # window over the COMPACT value table (see module docstring) —
@@ -98,8 +115,11 @@ def exact_quantiles(df: DataFrame, col: str, *,
     # exact ceil(q * N / 100) in integers; the theta-join is
     # (quantile rows) x (compact value table) under a broadcast —
     # constant work
-    return (cum.join(
+    out = (cum.join(
         F.broadcast(qdf),
         F.col("cum") * 100 >= F.col("q_x100") * F.col("N"))
         .groupBy(*groups, "q_x100")
         .agg(F.min("value").alias("value")))
+    if group_col is not None:
+        out = out.withColumnRenamed("_q_grp", group_col)
+    return out

@@ -103,3 +103,20 @@ def test_grouped_quantiles_match_replica(spark):
            for s, vs in by_group.items() for q in qs}
     assert got == exp
     assert got[(None, 50)] == 7  # NULL group is a group (SQL GROUP BY)
+
+
+def test_group_col_collisions_and_validation(spark):
+    """A group column named like a working column must WORK (internal
+    alias, the collision-safe-working-columns lesson), an output-name
+    collision and a typo are clean ValueErrors (review r06h)."""
+    df2 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)],
+                                "cum string, x long")
+    got2 = {(r.cum, r.q_x100): r.value
+            for r in exact_quantiles(df2, "x", quantiles_x100=[100],
+                                     group_col="cum").collect()}
+    assert got2 == {("a", 100): 2, ("b", 100): 5}
+    with pytest.raises(ValueError, match="collides with the output"):
+        exact_quantiles(df2.withColumnRenamed("cum", "q_x100"), "x",
+                        group_col="q_x100")
+    with pytest.raises(ValueError, match="group_col .* not found"):
+        exact_quantiles(df2, "x", group_col="sorce")
