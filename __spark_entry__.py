@@ -2558,14 +2558,22 @@ def q_text_split(spark, sf_dir):
         .select("doc_id", "split")
 
 
-def _oracle_split() -> str:
+def _split_case_sql() -> str:
+    """The CASE expression assigning _SPLIT_RECIPE splits — ONE
+    source of truth shared by the text_split oracle and the
+    split_leak_check composition (generated from the same
+    split_thresholds table the operator uses)."""
     from racket_linkeddata_spark.operators.mixture import (
         split_thresholds)
     ths = split_thresholds(_SPLIT_RECIPE)
     key = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
     whens = " ".join(f"WHEN {key} < '{up}' THEN '{name}'"
                      for name, up in ths[:-1])
-    return (f"SELECT doc_id, CASE {whens} ELSE '{ths[-1][0]}' END "
+    return f"CASE {whens} ELSE '{ths[-1][0]}' END"
+
+
+def _oracle_split() -> str:
+    return (f"SELECT doc_id, {_split_case_sql()} "
             f"AS split FROM documents")
 
 
@@ -2638,6 +2646,47 @@ SELECT value, min(coalesce(cells.cnt, 0))::BIGINT AS estimate
 FROM keys LEFT JOIN cells
 ON CAST(keys.k.r AS INT) = cells."row" AND keys.k.c = cells.col
 GROUP BY value"""
+
+
+def q_split_leak_check(spark, sf_dir):
+    """Cross-split leak check — the operators COMPOSING: deterministic
+    split_corpus partitions the corpus, then the train split is
+    n-gram-decontaminated against the test split's gram set
+    (contamination_stats). The thing a real prep run must do before
+    shipping a split: prove train does not verbatim-contain eval.
+    Output: per train doc, gram/hit counts + the collision verdict.
+    Oracle nests the split CASE (generated from the same
+    split_thresholds table) + the shared shingle fragment as CTEs."""
+    from racket_linkeddata_spark.operators.decontam import (
+        contamination_stats)
+    from racket_linkeddata_spark.operators.mixture import split_corpus
+
+    assigned = split_corpus(_docs(spark, sf_dir), _SPLIT_RECIPE)
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test").select("text")
+    return contamination_stats(train, test, n=8)
+
+
+def _oracle_split_leak() -> str:
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {_split_case_sql()} AS split FROM documents),
+docg AS ({_oracle_shingles(
+    "(SELECT doc_id, text FROM assigned WHERE split = 'train') trn",
+    n=8)}),
+bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM ({_oracle_shingles(
+      "(SELECT doc_id, text FROM assigned WHERE split = 'test') tst",
+      n=8)}) b),
+expl AS (SELECT doc_id, unnest(s) AS g FROM docg),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM expl JOIN bench USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.s) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+FROM docg d LEFT JOIN hits h USING (doc_id)"""
 
 
 def q_corpus_quantiles(spark, sf_dir):
@@ -2815,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "corpus_quantiles_by_source": q_corpus_quantiles_by_source,
         "text_split": q_text_split,
+        "split_leak_check": q_split_leak_check,
         "events_asof": q_events_asof,
         "sketch_cms": q_sketch_cms,
         "sketch_cms_estimate": q_sketch_cms_estimate,
@@ -3239,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quantiles": _ORACLE_QUANTILES,
         "corpus_quantiles_by_source": _ORACLE_QUANTILES_BY,
         "text_split": _oracle_split(),
+        "split_leak_check": _oracle_split_leak(),
         "events_asof": _ORACLE_ASOF,
         "sketch_cms": _oracle_cms(),
         "sketch_cms_estimate": _oracle_cms_estimate(),

@@ -137,7 +137,7 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_lm_surprisal", "text_tfidf", "text_textrank",
                  "sketch_hll_summary", "sketch_cms",
                  "sketch_cms_estimate", "corpus_quantiles", "corpus_quantiles_by_source",
-                 "text_split", "text_quota_sample",
+                 "text_split", "split_leak_check", "text_quota_sample",
                  "text_nfc_normalize",
                  "ann_brute_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_ivf_kmeans", "ann_pq_topk",
