@@ -2342,6 +2342,51 @@ def _oracle_epoch_upsample() -> str:
         FROM n WHERE n_epochs > 0"""
 
 
+def q_text_bigram_surprisal(spark, sf_dir):
+    """Conditional (bigram) surprisal — the fluency signal unigram
+    surprisal cannot see: integer bits floor(log2 n(w1 *)) -
+    floor(log2 n(w1 w2)), mean per doc x1000. One (w1,w2) aggregate
+    (persisted, the counts rationale) + head marginals derived FROM
+    it + one scoring equi-join; integer domain end to end."""
+    from racket_linkeddata_spark.operators.lmscore import (
+        bigram_surprisal)
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+_ORACLE_BIGRAM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '') AS l
+  FROM documents),
+flat AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> {'w1': l[i], 'w2': l[i + 1]}))
+             AS p
+    FROM toks WHERE len(l) >= 2) q),
+counts AS (SELECT w1, w2, count(*)::BIGINT AS n
+           FROM flat GROUP BY w1, w2),
+heads AS (SELECT w1, sum(n)::BIGINT AS n_head FROM counts GROUP BY w1),
+scored AS (
+  SELECT f.doc_id,
+         (length(bin(h.n_head)) - 1) - (length(bin(c.n)) - 1) AS bits
+  FROM flat f JOIN counts c USING (w1, w2) JOIN heads h USING (w1)),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+               sum(bits) AS sum_surprisal
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.sum_surprisal, 0)::BIGINT AS sum_surprisal,
+       (CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0
+        ELSE (1000 * a.sum_surprisal) // a.n_bigrams
+        END)::BIGINT AS avg_surprisal_x1000
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_text_tfidf(spark, sf_dir):
     """Per-document top-5 TF-IDF keywords (operators/tfidf.py):
     integer bit-idf (floor-log2, the lmscore convention) so scores are
@@ -2857,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_stats": q_train_pack_stats,
         "train_pack_greedy": q_train_pack_greedy,
         "text_lm_surprisal": q_text_lm_surprisal,
+        "text_bigram_surprisal": q_text_bigram_surprisal,
         "text_tfidf": q_text_tfidf,
         "text_textrank": q_text_textrank,
         "sketch_hll_registers": q_sketch_hll_registers,
@@ -3281,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         "train_pack_stats": _ORACLE_PACK_STATS,
         "train_pack_greedy": _ORACLE_PACK_GREEDY,
         "text_lm_surprisal": _ORACLE_LM_SURPRISAL,
+        "text_bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
         "text_tfidf": _ORACLE_TFIDF,
         "text_textrank": _oracle_textrank(),
         "sketch_hll_registers":

@@ -134,7 +134,8 @@ def run(cpus: int, sf_dir: str, only=None, n_pages=None, reps: int = 3,
                  "text_mixture_stats", "text_blocklist",
                  "dedup_spans",
                  "train_pack_offsets", "train_pack_greedy",
-                 "text_lm_surprisal", "text_tfidf", "text_textrank",
+                 "text_lm_surprisal", "text_bigram_surprisal",
+                 "text_tfidf", "text_textrank",
                  "sketch_hll_summary", "sketch_cms",
                  "sketch_cms_estimate", "corpus_quantiles", "corpus_quantiles_by_source",
                  "text_split", "split_leak_check", "text_quota_sample",

@@ -76,7 +76,12 @@ def _lazy_spark():
         fuzzy_contamination,
         fuzzy_decontaminate,
     )
-    from .operators.lmscore import token_counts, word_surprisal
+    from .operators.lmscore import (
+        bigram_counts,
+        bigram_surprisal,
+        token_counts,
+        word_surprisal,
+    )
     from .operators.pagerank import (
         pagerank,
         textrank_scores,
@@ -147,6 +152,7 @@ _SPARK_API = ("extract_triples", "build_kg", "session", "read_nquads",
                  "epoch_upsample", "split_corpus",
                  "shuffle_shards", "pack_offsets", "packing_stats",
                  "pack_greedy", "token_counts", "word_surprisal",
+                 "bigram_counts", "bigram_surprisal",
                  "term_scores", "tfidf_topk",
                  "pagerank", "textrank_scores",
                  "token_cooccurrence_edges",
@@ -190,6 +196,7 @@ __all__ = [
     "epoch_upsample", "split_corpus",
     "shuffle_shards", "pack_offsets", "packing_stats",
     "pack_greedy", "token_counts", "word_surprisal",
+    "bigram_counts", "bigram_surprisal",
     "term_scores", "tfidf_topk",
     "pagerank", "textrank_scores", "token_cooccurrence_edges",
     "hll_registers", "hll_summary", "exact_quantiles",

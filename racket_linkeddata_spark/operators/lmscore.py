@@ -66,6 +66,100 @@ def token_counts(docs: DataFrame, *, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def bigram_pairs(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2): adjacent-token pairs per document — the
+    explode(array(...)) barrier + zip-slice trick (the pagerank word
+    graph), so the tokenizer evaluates once per row."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+"),
+        lambda x: x != F.lit(""))
+    arr = docs.select(F.col(id_col),
+                      F.explode(F.array(toks)).alias("_toks"))
+    n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_toks", F.lit(1), n1),
+        F.slice("_toks", F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (arr.select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+
+def bigram_counts(docs: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(w1, w2, n) corpus-wide bigram counts — the conditional model,
+    reusable as ``ref_counts`` for scoring a different corpus."""
+    return (bigram_pairs(docs, text_col=text_col, id_col=id_col)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def bigram_surprisal(docs: DataFrame, *,
+                     ref_counts: Optional[DataFrame] = None,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per document: ``(id, n_bigrams, sum_surprisal,
+    avg_surprisal_x1000)`` in integer CONDITIONAL bits:
+
+        bits(w1 w2) = floor(log2(n(w1 *))) - floor(log2(n(w1 w2)))
+
+    where n(w1 *) is w1's count as a bigram head (derived FROM the
+    bigram table, so the two marginals cannot disagree). This is the
+    fluency signal the unigram score cannot see: a bag of common words
+    in scrambled order has low unigram surprisal but high conditional
+    surprisal (every transition is rare). OOV convention (only
+    reachable with an external ``ref_counts``): a seen head with an
+    unseen continuation scores floor(log2(n_head)) — the word-salad
+    case — while a bigram whose HEAD is itself unseen scores 0 (no
+    conditional evidence either way; callers wanting OOV-head
+    penalties should gate on word_surprisal too). Documents with
+    fewer than 2 tokens keep their row with all-zero scores.
+
+    100 TB shape: like word_surprisal but the model table is
+    DISTINCT-BIGRAM-sized, not vocab-sized — for a web-scale corpus
+    pass a precomputed ``ref_counts`` table (a parquet read) instead
+    of relying on the self-counts persist, which is only appropriate
+    up to model tables that fit the cluster's storage memory. Scoring
+    is one (w1, w2) equi-join (AQE splits the hot stopword-pair keys)
+    + a per-document re-aggregate."""
+    pairs = bigram_pairs(docs, text_col=text_col, id_col=id_col)
+    if ref_counts is not None:
+        counts = ref_counts
+    else:
+        # pinned: the head-marginal aggregate AND the scoring join
+        # both consume it (the word_surprisal counts rationale)
+        counts = (pairs.groupBy("w1", "w2")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .persist())
+    heads = counts.groupBy("w1").agg(F.sum("n").alias("n_head"))
+
+    scored = (pairs
+              .join(counts, ["w1", "w2"], "left")
+              .join(heads, "w1", "left")
+              .select(F.col(id_col),
+                      (_intlog2(F.coalesce(F.col("n_head"), F.lit(1)))
+                       - _intlog2(F.coalesce(F.col("n"), F.lit(1))))
+                      .alias("bits")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("bits").alias("sum_surprisal")))
+    return (docs.select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                .alias("n_bigrams"),
+                F.coalesce("sum_surprisal", F.lit(0)).cast("bigint")
+                .alias("sum_surprisal"),
+                F.when(F.coalesce("n_bigrams", F.lit(0)) == 0,
+                       F.lit(0))
+                .otherwise(F.expr("(1000 * sum_surprisal) "
+                                  "div n_bigrams"))
+                .cast("bigint").alias("avg_surprisal_x1000")))
+
+
 def word_surprisal(docs: DataFrame, *,
                    ref_counts: Optional[DataFrame] = None,
                    text_col: str = "text",

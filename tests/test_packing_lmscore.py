@@ -191,3 +191,73 @@ def test_word_surprisal_case_and_whitespace_normalized(spark):
     assert got[1]["n_tokens"] == 3
     # all tokens are 'the': count 4, total 4, bits = 2-2 = 0
     assert got[1]["sum_surprisal"] == 0 and got[2]["sum_surprisal"] == 0
+
+
+def _bigram_replica(texts):
+    """Independent conditional-bits replica: bits = floor(log2 n_head)
+    - floor(log2 n12), doc score = mean x1000 (integer div)."""
+    from collections import Counter
+    pairs_by_doc = {}
+    all_pairs = Counter()
+    for i, t in texts:
+        toks = (t or "").lower().split()
+        ps = list(zip(toks, toks[1:]))
+        pairs_by_doc[i] = ps
+        all_pairs.update(ps)
+    heads = Counter()
+    for (w1, _), n in all_pairs.items():
+        heads[w1] += n
+    out = {}
+    for i, ps in pairs_by_doc.items():
+        bits = [heads[w1].bit_length() - 1
+                - (all_pairs[(w1, w2)].bit_length() - 1)
+                for w1, w2 in ps]
+        s = sum(bits)
+        out[i] = (len(ps), s,
+                  (1000 * s) // len(ps) if ps else 0)
+    return out
+
+
+def test_bigram_surprisal_matches_replica(spark):
+    from racket_linkeddata_spark.operators.lmscore import (
+        bigram_surprisal)
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),      # duplicate: common bigrams
+        (3, "mat the on sat cat the"),      # same words, scrambled
+        (4, "completely different words entirely"),
+        (5, None),
+        (6, "solo"),
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.sum_surprisal,
+                      r.avg_surprisal_x1000)
+           for r in bigram_surprisal(d).collect()}
+    assert got == _bigram_replica(texts)
+    # the fluency property: scrambled doc 3 scores HIGHER than the
+    # fluent duplicates 1/2 (same unigram bag, rare transitions)
+    assert got[3][2] > got[1][2]
+    # token-less docs keep a zero row
+    assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
+
+
+def test_bigram_external_ref_counts(spark):
+    """External model (the CCNet shape): score a corpus against
+    counts trained elsewhere; OOV conventions — unseen continuation
+    scores log2(n_head), unseen head scores 0."""
+    from racket_linkeddata_spark.operators.lmscore import (
+        bigram_counts, bigram_surprisal)
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id long, text string")
+    # model: (a,b) x4, (b,a) x3 -> heads: a=4, b=3
+    ref = bigram_counts(train)
+    score = spark.createDataFrame(
+        [(1, "a b"),     # seen: log2(4) - log2(4) = 0
+         (2, "a zzz"),   # seen head, unseen cont: log2(4) - 0 = 2
+         (3, "zzz a")],  # unseen head: 0
+        "doc_id long, text string")
+    got = {r.doc_id: r.sum_surprisal
+           for r in bigram_surprisal(score, ref_counts=ref).collect()}
+    assert got == {1: 0, 2: 2, 3: 0}
