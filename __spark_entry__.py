@@ -677,8 +677,10 @@ paras AS (
   FROM sp),
 keyed AS (
   SELECT doc_id, pos, para,
-         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS pkey,
-         length(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS nlen
+         md5(lower(trim(regexp_replace(para, '[ \t\n\r\f\x0B]+',
+                                       ' ', 'g')))) AS pkey,
+         length(lower(trim(regexp_replace(para, '[ \t\n\r\f\x0B]+',
+                                          ' ', 'g')))) AS nlen
   FROM paras)"""
 
 
@@ -946,7 +948,7 @@ def _oracle_quality_signals_over(src: str) -> str:
         WITH base AS (
           SELECT doc_id, coalesce(text, '') AS t,
                  list_filter(regexp_split_to_array(coalesce(text, ''),
-                                                   '\\s+'),
+                                                   '[ \\t\\n\\r\\f\\x0B]+'),
                              w -> w != '') AS words,
                  string_split(coalesce(text, ''), chr(10)) AS lines
           FROM {src}),
@@ -959,16 +961,16 @@ def _oracle_quality_signals_over(src: str) -> str:
                  + (length(t) - length(replace(t, '...', ''))) // 3
                  + (length(t) - length(replace(t, '…', ''))) AS nsym,
                  len(list_filter(lines,
-                     l -> regexp_matches(l, '^\\s*[-*•]'))) AS nbul,
+                     l -> regexp_matches(l, '^[ \\t\\n\\r\\f\\x0B]*[-*•]'))) AS nbul,
                  len(list_filter(lines,
-                     l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$')))
                    AS nell
           FROM base)
         SELECT doc_id,
                CAST(nw AS BIGINT) AS n_tokens,
                CAST(nl AS BIGINT) AS n_lines,
                CAST(CASE WHEN nw > 0 THEN
-                 1000 * length(regexp_replace(t, '\\s', '', 'g')) // nw
+                 1000 * length(regexp_replace(t, '[ \\t\\n\\r\\f\\x0B]', '', 'g')) // nw
                  ELSE 0 END AS BIGINT) AS mean_word_len_x1000,
                CAST(nstop AS BIGINT) AS n_stopwords,
                CAST(CASE WHEN nw > 0 THEN 1000 * nstop // nw
@@ -2018,7 +2020,7 @@ def _oracle_packed_base(shards: int, toks_body: str | None = None) -> str:
         toks_body = """SELECT doc_id,
          md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS key,
          CAST(len(list_filter(
-             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
              x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents"""
     return f"""toks AS (
@@ -2358,7 +2360,7 @@ _ORACLE_BIGRAM_SURPRISAL = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(
-             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
              x -> x <> '') AS l
   FROM documents),
 flat AS (
@@ -2402,7 +2404,7 @@ _ORACLE_TFIDF = """
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(
-             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
              x -> x <> '')) AS term
   FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -2454,7 +2456,7 @@ r{i} AS (
     return f"""
 WITH toks AS (
   SELECT list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
            x -> x <> '') AS l
   FROM documents),
 pairs AS (
@@ -2504,7 +2506,7 @@ def q_sketch_hll_summary(spark, sf_dir):
 _HLL_REGS_SQL = """
 WITH toks AS (
   SELECT unnest(list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
            x -> x <> '')) AS token
   FROM documents),
 h AS (SELECT CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
@@ -2655,7 +2657,7 @@ def _oracle_cms() -> str:
     return f"""
 WITH toks AS (
   SELECT unnest(list_filter(
-           regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+           regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
            x -> x <> '')) AS token
   FROM documents),
 cells AS (SELECT {_cms_cells_sql("token")} AS cell FROM toks)
@@ -2701,7 +2703,10 @@ def q_split_leak_check(spark, sf_dir):
     shipping a split: prove train does not verbatim-contain eval.
     Output: per train doc, gram/hit counts + the collision verdict.
     Oracle nests the split CASE (generated from the same
-    split_thresholds table) + the shared shingle fragment as CTEs."""
+    split_thresholds table) + the shared shingle fragment as CTEs.
+    n=4 (not the production 13) so the HITS path is non-vacuous at
+    EVERY sf (6/6/646 contaminated at 0.001/0.01/0.1 — the r06
+    de-vacuated-gate rule; review r06i)."""
     from racket_linkeddata_spark.operators.decontam import (
         contamination_stats)
     from racket_linkeddata_spark.operators.mixture import split_corpus
@@ -2709,7 +2714,7 @@ def q_split_leak_check(spark, sf_dir):
     assigned = split_corpus(_docs(spark, sf_dir), _SPLIT_RECIPE)
     train = assigned.filter(F.col("split") == "train")
     test = assigned.filter(F.col("split") == "test").select("text")
-    return contamination_stats(train, test, n=8)
+    return contamination_stats(train, test, n=4)
 
 
 def _oracle_split_leak() -> str:
@@ -2718,11 +2723,11 @@ WITH assigned AS (
   SELECT doc_id, text, {_split_case_sql()} AS split FROM documents),
 docg AS ({_oracle_shingles(
     "(SELECT doc_id, text FROM assigned WHERE split = 'train') trn",
-    n=8)}),
+    n=4)}),
 bench AS (
   SELECT DISTINCT unnest(s) AS g FROM ({_oracle_shingles(
       "(SELECT doc_id, text FROM assigned WHERE split = 'test') tst",
-      n=8)}) b),
+      n=4)}) b),
 expl AS (SELECT doc_id, unnest(s) AS g FROM docg),
 hits AS (
   SELECT doc_id, count(*) AS n_hits
@@ -2807,7 +2812,7 @@ _ORACLE_LM_SURPRISAL = """
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(
-             regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+             regexp_split_to_array(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\x0B]+'),
              x -> x <> '')) AS token
   FROM documents),
 counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),

@@ -40,12 +40,14 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .util import WS_CLASS
+
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, token): lowercased whitespace tokens, empties dropped —
     the quality_signals tokenization (regexp \\s+ split, filtered)."""
     words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                    r"\s+")
+                    WS_CLASS)
     return (docs
             .select(F.col(id_col),
                     F.explode(words).alias("token"))
@@ -66,25 +68,36 @@ def token_counts(docs: DataFrame, *, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-def bigram_pairs(docs: DataFrame, *, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(id, w1, w2): adjacent-token pairs per document — the
-    explode(array(...)) barrier + zip-slice trick (the pagerank word
-    graph), so the tokenizer evaluates once per row."""
+def adjacent_pairs_array(docs: DataFrame, text_col: str,
+                         keep_cols) -> DataFrame:
+    """``keep_cols`` + ``_pairs`` array<struct<a,b>> of adjacent-token
+    pairs: the explode(array(...)) tokenizer barrier + zip-slice —
+    ONE copy shared by bigram_pairs and pagerank's word graph so the
+    tokenization convention cannot drift between them (review r06i;
+    the r05b factoring rule)."""
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                r"\s+"),
+                WS_CLASS),
         lambda x: x != F.lit(""))
-    arr = docs.select(F.col(id_col),
+    arr = docs.select(*keep_cols,
                       F.explode(F.array(toks)).alias("_toks"))
     n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice("_toks", F.lit(1), n1),
         F.slice("_toks", F.lit(2), n1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-    return (arr.select(F.col(id_col), F.explode(pairs).alias("p"))
-            .select(id_col, F.col("p.w1").alias("w1"),
-                    F.col("p.w2").alias("w2")))
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    return arr.select(*keep_cols, pairs.alias("_pairs"))
+
+
+def bigram_pairs(docs: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2): adjacent-token pairs per document — the tokenizer
+    evaluates once per row (see adjacent_pairs_array)."""
+    arr = adjacent_pairs_array(docs, text_col, [F.col(id_col)])
+    return (arr.select(F.col(id_col),
+                       F.explode("_pairs").alias("p"))
+            .select(id_col, F.col("p.a").alias("w1"),
+                    F.col("p.b").alias("w2")))
 
 
 def bigram_counts(docs: DataFrame, *, text_col: str = "text",

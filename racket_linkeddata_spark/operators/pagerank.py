@@ -44,6 +44,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 
+
 def pagerank(edges: DataFrame, *, iterations: int = 5,
              damping_pct: int = 85, scale: int = 1_000_000,
              src_col: str = "src", dst_col: str = "dst",
@@ -140,24 +141,15 @@ def token_cooccurrence_edges(docs: DataFrame, *,
     dropped, weight = corpus-wide co-occurrence count. Tokenization
     shared with lmscore/tfidf. Pure JVM: the pair list is a
     slice+zip over the token array, no positional self-join."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                r"\s+"),
-        lambda x: x != F.lit(""))
-    # explode(array(...)) Generate barrier: the interpreted
-    # split+filter tree evaluates ONCE per row, not once per slice
-    # (the _mins_table / blockfilter pattern)
-    arr = docs.select(F.explode(F.array(toks)).alias("_toks"))
-    n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice("_toks", F.lit(1), n1),
-        F.slice("_toks", F.lit(2), n1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    from .lmscore import adjacent_pairs_array
+
+    # shared tokenizer barrier + zip-slice (lmscore; review r06i);
     # both directions INSIDE the array before the single explode — a
     # directed.union(reversed) would re-derive the whole pair subtree
     # (tokenizer and Generates twice; the double-evaluation gotcha)
+    arr = adjacent_pairs_array(docs, text_col, [])
     both = F.flatten(F.transform(
-        pairs,
+        F.col("_pairs"),
         lambda p: F.array(p, F.struct(p["b"].alias("a"),
                                       p["a"].alias("b")))))
     return (arr

@@ -31,11 +31,13 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from .util import WS_CLASS
+
 # matching is on a normalized key (whitespace-collapsed, trimmed,
 # lowercased) but the ORIGINAL paragraph bytes are what's kept —
 # surviving text is byte-preserved
 def _norm(col):
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(col, WS_CLASS, " ")))
 
 
 def _split_sep(text, sep: str):

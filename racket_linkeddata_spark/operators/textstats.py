@@ -11,6 +11,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .util import WS_CHAR, WS_CLASS
+
 # deterministic stopword markers per language for the LIKE-based heuristic
 _LANG_MARKERS = [
     ("en", [" the ", " and ", " of "]),
@@ -537,7 +539,7 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     on BOTH sides, here and in the generated oracle). Ratios over an
     empty token/line set are 0, not an ANSI division error."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(t, WS_CLASS), lambda w: w != "")
     lines = F.split(t, "\n")
     n_tokens = F.size(words)
     n_lines = F.size(lines)
@@ -556,16 +558,17 @@ def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
     ).cast("long")
     n_bullet = F.size(F.filter(
-        lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        lines, lambda l: l.rlike("^" + WS_CHAR + "*[-*•]")))
     n_ellipsis = F.size(F.filter(
-        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        lines, lambda l: l.rlike("(\\.\\.\\.|…)"
+                         + WS_CHAR + "*$")))
     n_linechars = F.length(t) - (n_lines - F.lit(1))
 
     return docs.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_lines.cast("bigint").alias("n_lines"),
-        per(F.length(F.regexp_replace(t, r"\s", "")), n_tokens)
+        per(F.length(F.regexp_replace(t, WS_CHAR, "")), n_tokens)
         .alias("mean_word_len_x1000"),
         n_stop.cast("bigint").alias("n_stopwords"),
         per(n_stop, n_tokens).alias("stopword_x1000"),

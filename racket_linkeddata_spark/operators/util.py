@@ -91,3 +91,15 @@ def ensure_parallelism(df: DataFrame, multiple: int = 2) -> DataFrame:
     if open_cost >= max_pb and len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
+
+
+# Tokenizer whitespace: Java's \s (Spark split) is [ \t\n\x0B\f\r]
+# but RE2's (DuckDB's) \s LACKS \x0B — a vertical tab in scraped text
+# splits tokens in the engine and not in the oracle. ONE explicit
+# class, byte-identical semantics in both engines (java.util.regex
+# and RE2 both accept the \t \n \r \f \x0B escapes), and exactly
+# equal to Java's \s so nothing changes engine-side (review r06i).
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+# single-character variant of the same class (for \s and \s* uses)
+WS_CHAR = "[ \\t\\n\\r\\f\\x0B]"

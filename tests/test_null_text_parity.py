@@ -89,3 +89,49 @@ def test_blocklist_null_text_parity(spark, corpus_dir):
     rows = {dict(zip(cols, r))["doc_id"]: dict(zip(cols, r)) for r in got}
     assert rows[2]["n_tokens"] == 0 and rows[2]["blocked"] is False
     assert rows[3]["n_tokens"] == 0 and rows[3]["blocked"] is False
+
+
+def test_bigram_surprisal_null_text_parity(spark, corpus_dir):
+    got = _compare(spark, corpus_dir, "text_bigram_surprisal")
+    cols = _compare.cols
+    rows = {dict(zip(cols, r))["doc_id"]: dict(zip(cols, r))
+            for r in got}
+    for d in (2, 3):   # NULL == '': zero bigrams, zero scores
+        assert rows[d]["n_bigrams"] == 0
+        assert rows[d]["avg_surprisal_x1000"] == 0
+
+
+def test_split_leak_check_null_text_parity(spark, corpus_dir):
+    _compare(spark, corpus_dir, "split_leak_check")
+
+
+@pytest.fixture(scope="module")
+def hostile_ws_dir(spark, tmp_path_factory):
+    """Documents containing VERTICAL TAB (\\x0b): Java's \\s splits on
+    it, RE2's (DuckDB's) does NOT — the r06i divergence the shared
+    explicit WS_CLASS closes. Every whitespace-tokenizing query must
+    agree on these."""
+    d = str(tmp_path_factory.mktemp("hostilews"))
+    rows = [(1, "plain words here"),
+            (2, "a\x0bb c"),            # VT between tokens
+            (3, "x\x0b\x0b\ty\fz"),     # VT runs + tab + formfeed
+            (4, "\x0b")]                # VT-only text
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{d}/documents.parquet"))
+    return d
+
+
+def test_vertical_tab_tokenizer_parity(spark, hostile_ws_dir):
+    for name in ("text_lm_surprisal", "text_bigram_surprisal",
+                 "text_tfidf", "text_textrank",
+                 "sketch_hll_registers", "text_quality_signals"):
+        got = _compare(spark, hostile_ws_dir, name)
+    # and the engine actually SPLITS on VT (not just agreeing on
+    # not-splitting): doc 2 has 3 tokens -> 2 bigrams
+    got = _compare(spark, hostile_ws_dir, "text_bigram_surprisal")
+    cols = _compare.cols
+    rows = {dict(zip(cols, r))["doc_id"]: dict(zip(cols, r))
+            for r in got}
+    assert rows[2]["n_bigrams"] == 2
+    assert rows[4]["n_bigrams"] == 0    # VT-only == empty

@@ -242,6 +242,23 @@ def test_lm_surprisal_two_scans_counts_pinned(spark):
     assert "partial_count" in p
 
 
+def test_bigram_surprisal_counts_pinned(spark):
+    """bigram_surprisal: the corpus tokenizes exactly TWICE (live
+    scoring probe + the pinned bigram-counts cache build); the head
+    marginals ride the cached counts, never a third tokenize. Plan
+    text: 2 InMemoryTableScan (counts referenced by heads + scoring
+    join), each echoing the cached subtree's 2 Generates + 1 split —
+    so 1 live split + 2 echoes = 3, and 2 live Generates + 4 echoes
+    = 6. All-JVM."""
+    spark.catalog.clearCache()
+    p = _plan(em.q_text_bigram_surprisal(spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert p.count("InMemoryTableScan") == 2, p[:800]
+    assert p.count("split(") == 3, p[:800]
+    assert len(re.findall(r"Generate explode", p)) == 6, p[:800]
+    assert "partial_count" in p
+
+
 def test_tfidf_plan(spark):
     """tfidf_topk at 100 TB: all-JVM (no Python stage); df rides the
     persisted vocab-sized aggregate (ONE InMemoryTableScan — the
