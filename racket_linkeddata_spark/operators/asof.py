@@ -41,9 +41,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, *,
               on: str = "ts", by: str = "user_id",
               value_cols: List[str],
-              seq_col: Optional[str] = None) -> DataFrame:
+              seq_col: Optional[str] = None,
+              direction: str = "backward") -> DataFrame:
     """left columns + ``value_cols`` (from the matching right row) +
-    ``asof_ts`` (its timestamp; NULL when no right row precedes)."""
+    ``asof_ts`` (its timestamp; NULL when no right row matches).
+
+    ``direction='backward'`` (default): latest right row at-or-before
+    the left timestamp — DuckDB ``ON l.ts >= r.ts``.
+    ``direction='forward'``: EARLIEST right row at-or-after it —
+    DuckDB ``ON l.ts <= r.ts`` (the "next event" join). Same plan,
+    only the window's timestamp sort flips (NULLS FIRST under the
+    descending order so NULL-ts left rows stay unmatched); the
+    duplicate-(key, ts) winner rule is unchanged (greatest seq)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be 'backward' or "
+                         f"'forward', got {direction!r}")
     if not value_cols:
         raise ValueError("asof_join: value_cols must be non-empty")
     internal = {"_asof_is_left", "_asof_seq", "_asof_match"}
@@ -81,7 +93,9 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     l = left.select("*", F.lit(1).alias(tag))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col(on).asc(), F.col(tag).asc()]
+    ts_key = (F.col(on).desc_nulls_first() if direction == "forward"
+              else F.col(on).asc())
+    order = [ts_key, F.col(tag).asc()]
     order += ([F.col("_asof_seq").asc()] if seq_col
               else [F.col(c).asc() for c in value_cols])
     w = (Window.partitionBy(by).orderBy(*order)

@@ -148,3 +148,54 @@ def test_left_side_missing_key_rejected(spark, dfs):
     with pytest.raises(ValueError, match="left side lacks"):
         asof_join(l.withColumnRenamed("user_id", "uid"), r,
                   value_cols=["page"])
+
+
+def test_forward_direction(spark, dfs):
+    """direction='forward': EARLIEST right row at-or-after each left
+    timestamp; ties inclusive; NULL-key/ts rows stay unmatched."""
+    l, r = dfs
+    got = {row.click_id: (row.page, row.asof_ts)
+           for row in asof_join(l, r, value_cols=["page"],
+                                direction="forward").collect()}
+    assert got == {
+        1: ("b", 200),    # next view after ts=100 is ts=200
+        2: ("c", 300),
+        3: ("c", 300),    # equal ts inclusive
+        4: ("d", 60),     # u2's view at 60 is AFTER the click at 50
+        5: (None, None),
+        6: (None, None),
+        7: (None, None),
+    }
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, value_cols=["page"], direction="nearest")
+
+
+def test_forward_matches_duckdb(spark):
+    """Randomized cross-check vs DuckDB's native forward ASOF
+    (ON l.ts <= r.ts)."""
+    import random
+    rng = random.Random(11)
+    left = [(i, f"u{rng.randrange(5)}", rng.randrange(500))
+            for i in range(80)]
+    right_keys = {(f"u{rng.randrange(7)}", rng.randrange(500))
+                  for _ in range(60)}
+    right = [(u, t, f"v{j}") for j, (u, t) in
+             enumerate(sorted(right_keys))]
+    l = spark.createDataFrame(left, "click_id long, user_id string, "
+                              "ts long")
+    r = spark.createDataFrame(right, "user_id string, ts long, "
+                              "page string")
+    got = {row.click_id: (row.page, row.asof_ts) for row in
+           asof_join(l, r, value_cols=["page"],
+                     direction="forward").collect()}
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(
+        left, columns=["click_id", "user_id", "ts"]))
+    con.register("r", pd.DataFrame(
+        right, columns=["user_id", "ts", "page"]))
+    exp = {int(c): (p, None if pd.isna(t) else int(t))
+           for c, p, t in con.sql("""
+        SELECT l.click_id, r.page, r.ts
+        FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.ts""").fetchall()}
+    assert got == exp
