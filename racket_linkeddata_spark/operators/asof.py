@@ -1,6 +1,7 @@
-"""As-of join — for every left row, the most recent right row at or
-before its timestamp, per key (the time-series point-in-time join:
-"each click joined to the user's latest prior view"). Spark has no
+"""As-of join — for every left row, the nearest right row per key:
+at-or-before its timestamp (``direction='backward'``, the default —
+"each click joined to the user's latest prior view") or at-or-after
+it (``direction='forward'``, the next-event join). Spark has no
 native ASOF JOIN (DuckDB does — which makes it the perfect
 independent oracle); the naive formulations are a range join that
 explodes to |left| x |right| per key or a per-key collect. This is
@@ -14,7 +15,8 @@ the scalable composition:
 Each row is touched once; the window is a running frame (constant
 state per key, streaming-friendly order), and equal timestamps sort
 the right row FIRST (tag ascending) so the match is INCLUSIVE of
-ties — DuckDB ASOF's `>=` semantics exactly.
+ties — DuckDB ASOF's `>=` (backward) / `<=` (forward) semantics
+exactly; forward only flips the timestamp sort key.
 
 Determinism with duplicate right rows on the same (key, ts): the
 window sorts them by ``seq_col`` if given (latest sequence wins),

@@ -199,3 +199,17 @@ def test_forward_matches_duckdb(spark):
         FROM l ASOF LEFT JOIN r
         ON l.user_id = r.user_id AND l.ts <= r.ts""").fetchall()}
     assert got == exp
+
+
+def test_forward_duplicate_ts_seq_tiebreak(spark):
+    """The duplicate-(key, ts) winner rule is direction-INDEPENDENT
+    (greatest seq wins) — pinned for forward too (review r06j)."""
+    l = spark.createDataFrame([(1, "u", 10)],
+                              "click_id long, user_id string, ts long")
+    r = spark.createDataFrame(
+        [("u", 10, "first", 1), ("u", 10, "second", 2),
+         ("u", 50, "later", 3)],
+        "user_id string, ts long, page string, seq long")
+    got = asof_join(l, r, value_cols=["page"], seq_col="seq",
+                    direction="forward").collect()[0]
+    assert (got.page, got.asof_ts) == ("second", 10)
