@@ -1610,7 +1610,12 @@ def q_dedup_text_pipeline(spark, sf_dir):
     cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
-    cd = d.join(cand_ids, "doc_id")
+    # parallelism before the pin: AQE coalesces this small join to one
+    # post-shuffle partition and the checkpoint would store it that
+    # way, single-tasking the shingle tree (the curation-plan lesson;
+    # no-op at production scale via ensure_parallelism's size gate)
+    from racket_linkeddata_spark.operators.util import ensure_parallelism
+    cd = ensure_parallelism(d.join(cand_ids, "doc_id"))
     sh = (cd.select("doc_id", shingles(cd, 3).alias("sh"))
           .localCheckpoint(eager=False))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

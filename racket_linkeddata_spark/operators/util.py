@@ -10,6 +10,18 @@ _SIZE_RE = re.compile(r"^(\d+)\s*([kmgt]?)b?$", re.IGNORECASE)
 _SIZE_MULT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
               "t": 1 << 40}
 
+# Size "estimates" at or above this are Catalyst's unknown-stats
+# default (Long.MaxValue) or its propagation through join/filter
+# arithmetic, never a real measurement (2^60 bytes = 1 EiB; a 100 TB
+# corpus is ~2^47). ensure_parallelism treats them as unknown.
+_JUNK_EST = 1 << 60
+
+# logical-plan operators that compile to an Exchange: their runtime
+# partitioning is AQE's call, so a plan-time partition probe is
+# meaningless (and .rdd on an AQE plan executes its query stages)
+_WIDE_OPS = ("Join", "Aggregate", "Sort", "Window", "Repartition",
+             "Deduplicate", "Distinct", "Except", "Intersect")
+
 
 def f64_sql(x: float) -> str:
     """A float64 as a DuckDB literal that parses back BIT-EXACT — for
@@ -57,6 +69,23 @@ def ensure_parallelism(df: DataFrame, multiple: int = 2) -> DataFrame:
         sess.conf.get("spark.sql.files.openCostInBytes", "4194304"),
         4194304)
     try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "LogicalRDD" in plan and not any(op in plan
+                                            for op in _WIDE_OPS):
+            # narrow plan over a checkpointed RDD (localCheckpoint):
+            # the RDD's partition count is ground truth and the size
+            # estimate is NOT — Spark captures the pre-checkpoint
+            # plan's estimate into the LogicalRDD, and a join-output
+            # guess can be off by 10^5 (measured: a 15 MB survivors
+            # join "estimated" 6 TB, so round 6 no-op'd here and the
+            # whole minhash tree ran in ONE 28 s task over the
+            # 1-partition checkpoint). Probing .rdd on a narrow plan
+            # is cheap (no AQE query stages to execute); at production
+            # scale the checkpoint has >= target partitions and this
+            # stays a no-op.
+            if df.rdd.getNumPartitions() >= target:
+                return df
+            return df.repartition(target)
         est = int(str(
             df._jdf.queryExecution().optimizedPlan().stats()
             .sizeInBytes()))
@@ -64,6 +93,14 @@ def ensure_parallelism(df: DataFrame, multiple: int = 2) -> DataFrame:
         # exotic plan with no stats: repartitioning is always
         # semantically safe, and anything that defeats estimation is
         # not the giant file scan the no-op exists for
+        return df.repartition(target)
+    if est >= _JUNK_EST:
+        # Catalyst's unknown-stats default (Long.MaxValue) or its
+        # propagation through join arithmetic — never a measurement
+        # (100 TB is ~2^47 bytes). AQE may still coalesce such a
+        # plan's final exchange to one partition at runtime, which a
+        # plan-time probe cannot see — the explicit numbered
+        # repartition is AQE-proof.
         return df.repartition(target)
     if est >= target * max_pb:
         # size alone yields >= target splits for SPLITTABLE sources —
