@@ -45,10 +45,18 @@ from .util import WS_CLASS
 
 def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, token): lowercased whitespace tokens, empties dropped —
-    the quality_signals tokenization (regexp \\s+ split, filtered)."""
+    the quality_signals tokenization (regexp \\s+ split, filtered).
+
+    ensure_parallelism: the tokenize + explode + partial aggregate of
+    every consumer (counts, tf, sketches) is the CPU-heavy map side of
+    this family, and a small corpus parquet packs into ONE split —
+    measured 4.5 s single-task vs 1.6 s repartitioned for the CMS
+    sketch at sf1.0. No-op at production scale (size gate)."""
+    from .util import ensure_parallelism
+
     words = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                     WS_CLASS)
-    return (docs
+    return (ensure_parallelism(docs)
             .select(F.col(id_col),
                     F.explode(words).alias("token"))
             .filter(F.col("token") != ""))
@@ -75,12 +83,16 @@ def adjacent_pairs_array(docs: DataFrame, text_col: str,
     ONE copy shared by bigram_pairs and pagerank's word graph so the
     tokenization convention cannot drift between them (review r06i;
     the r05b factoring rule)."""
+    from .util import ensure_parallelism
+
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                 WS_CLASS),
         lambda x: x != F.lit(""))
-    arr = docs.select(*keep_cols,
-                      F.explode(F.array(toks)).alias("_toks"))
+    # parallelism for the same reason as _tokens: the zip-slice pair
+    # derivation is the CPU-heavy map side (textrank's word graph)
+    arr = ensure_parallelism(docs).select(
+        *keep_cols, F.explode(F.array(toks)).alias("_toks"))
     n1 = F.greatest(F.size("_toks") - 1, F.lit(0))
     pairs = F.zip_with(
         F.slice("_toks", F.lit(1), n1),
