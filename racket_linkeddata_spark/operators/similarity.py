@@ -18,6 +18,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
 
 
 def _dot(a, b):
@@ -30,7 +31,100 @@ def _norm(a):
 
 
 def cosine(a, b):
+    """Interpreted higher-order-function cosine — the right form for
+    SMALL pair counts (the top-k probes): no Python stage, stays
+    inside the JVM pipeline. cosine_arrow below is the bit-identical
+    Arrow kernel for candidate-verification volumes (an A/B at sf1.0
+    measured the Arrow form 2.6 s faster on the 7.4M-pair near-dup
+    verify but 0.7-2.4 s SLOWER on each top-k query, where the extra
+    Python stage and the optimizer restrictions of its
+    nondeterministic marking outweigh the per-row savings)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine, BIT-IDENTICAL to cosine(): the JVM fold
+    sums strictly left-to-right, so the kernel accumulates one
+    dimension at a time — `acc = acc + a[:, i] * b[:, i]` — vectorized
+    ACROSS rows, sequential across dims; every IEEE-754 multiply/add/
+    sqrt/divide happens in the same order on the same doubles, and
+    np.sqrt / division are correctly-rounded like their JVM
+    counterparts. Rounding stays in the JVM (callers wrap in
+    F.round), so the full pipeline value is unchanged.
+
+    Ragged, NULL-array, or NULL-element rows fall back to a per-row
+    loop with the JVM's NULL semantics (zip_with pads the shorter
+    array with NULL; NULL poisons the fold -> NULL out). Caveat
+    (documented limitation): Arrow surfaces a NULL *element* inside a
+    float vector as NaN, indistinguishable from a genuine NaN, so
+    such rows yield NaN rather than NULL — no corpus in this repo
+    produces one."""
+    n = len(a)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    try:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        if ma.ndim != 2 or mb.ndim != 2 or ma.shape != mb.shape:
+            raise ValueError
+    except (ValueError, TypeError):
+        out = []
+        for va, vb in zip(a, b):
+            if va is None or vb is None:
+                out.append(None)
+                continue
+            la, lb = list(va), list(vb)
+            if len(la) != len(lb) or any(x is None for x in la) \
+                    or any(x is None for x in lb):
+                out.append(None)
+                continue
+            d = na = nb = 0.0
+            for x, y in zip(la, lb):
+                d = d + x * y
+            for x in la:
+                na = na + x * x
+            for y in lb:
+                nb = nb + y * y
+            den = np.sqrt(na) * np.sqrt(nb)
+            if den == 0:
+                raise ArithmeticError(_ZERO_NORM_MSG)
+            out.append(float(np.float64(d) / den))
+        return pd.Series(out, dtype="float64")
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for i in range(ma.shape[1]):
+        ca, cb = ma[:, i], mb[:, i]
+        dot = dot + ca * cb
+        na = na + ca * ca
+        nb = nb + cb * cb
+    den = np.sqrt(na) * np.sqrt(nb)
+    if (den == 0).any():
+        # cosine_jvm under ANSI mode (Spark 4 default) fails the job
+        # on a zero-norm vector (double DIVIDE_BY_ZERO) — keep the
+        # loud-failure contract instead of minting NaN silently
+        raise ArithmeticError(_ZERO_NORM_MSG)
+    return pd.Series(dot / den)
+
+
+_ZERO_NORM_MSG = (
+    "cosine: zero-norm vector (cosine is undefined; ANSI division by "
+    "zero) — filter zero vectors before similarity search")
+
+
+# asNondeterministic: the near-dup call site filters on the cosine
+# column, and filter pushdown below the projection DUPLICATES the UDF
+# (two ArrowEvalPython nodes for one call — observed in the
+# embedding_near_dup_lsh plan; guide-standard fix). The function is
+# pure; the marking only forbids the optimizer to clone/reorder it.
+_cosine_arrow = _cosine_arrow.asNondeterministic()
+
+
+def cosine_arrow(a, b):
+    """Arrow cosine for candidate-verification volumes (bit-identical
+    to cosine(); see _cosine_arrow)."""
+    return _cosine_arrow(a, b)
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -126,23 +220,48 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.85,
         _srp_buckets_udf(n_planes, n_tables)(F.col("v")))
         .alias("tbl", "bucket"))
     ids = F.array_sort(F.collect_list("id"))
-    grouped = (banded.groupBy("tbl", "bucket").agg(ids.alias("ids"))
-               .filter((F.size("ids") >= 2)
-                       & (F.size("ids") <= max_bucket)))
+    # ensure_parallelism on the GROUPED bucket table (bucket-count
+    # rows of sorted-id arrays — tiny), not on the exploded pairs:
+    # repartitioning here costs a bucket-sized exchange, after which
+    # the pair explode, the vector joins and the cosine verify are all
+    # map-side — the pair stream itself never crosses an exchange.
+    grouped = ensure_parallelism(
+        banded.groupBy("tbl", "bucket").agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2)
+                & (F.size("ids") <= max_bucket)))
     pairs = F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
             F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    # deterministic hash repartition of the pair stream: an exchange
+    # (ids only — no payload) whose RUNTIME row count AQE feeds into
+    # the vector-join planning. Without it the static estimate calls
+    # the pair side "small" and BROADCASTS millions of pairs (BuildLeft
+    # — measured 43 s vs 10 s at sf1.0); unlike the old distinct this
+    # exchange carries no 7M-entry aggregate hash table.
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism * 2
     cand = (grouped.select(F.explode(pairs).alias("p"))
-            .select("p.id_a", "p.id_b").distinct())
+            .select("p.id_a", "p.id_b")
+            .repartition(npart, "id_a", "id_b"))
     va = src.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = src.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # cosine_arrow: the verify pass runs over EVERY candidate pair
+    # (millions at sf1.0) — the one cosine call site where the Arrow
+    # kernel wins (see the cosine() docstring for the A/B numbers).
+    # The multi-table dedup moved BELOW the threshold filter: at sf1.0
+    # only 2.4% of candidates collide in more than one table, so the
+    # old pre-verify distinct shuffled 7.4M pairs to drop 177k — now
+    # duplicates cost one redundant (bit-identical) cosine each and
+    # the distinct dedups the filtered survivors (thousands, not
+    # millions). Same result set: duplicate pairs carry identical
+    # cos_sim, so distinct-after-filter == filter-after-distinct.
     return (cand.join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                    F.round(cosine_arrow(F.col("va"), F.col("vb")), 4)
                     .alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct())
 
 
 def _srp_buckets_udf(n_planes: int, n_tables: int):

@@ -304,3 +304,49 @@ def test_pinned_ivf_quantizer_roundtrip(spark):
         f"WITH {cte} SELECT cid, cv FROM c ORDER BY cid").fetchall()
     for (cid, vec), (gcid, gv) in zip(KMEANS_CENTROIDS, got):
         assert gcid == cid and list(gv) == vec  # repr round-trip exact
+
+
+def test_cosine_arrow_bit_identical_to_jvm(spark):
+    """The Arrow cosine kernel (r07: the near-dup verify hot path) must
+    be BIT-identical to the interpreted JVM fold on real vectors —
+    same left-to-right accumulation order, same IEEE-754 ops — and
+    must replicate the JVM's NULL semantics on ragged/NULL rows and
+    its ANSI loud failure on zero-norm vectors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from racket_linkeddata_spark.operators.similarity import (
+        cosine, cosine_arrow)
+
+    e = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .select(F.col("vec_id").alias("id"),
+                 F.col("embedding").cast("array<double>").alias("v")))
+    a = (e.filter(F.col("id") < 120)
+         .select(F.col("id").alias("ia"), F.col("v").alias("va")))
+    b = (e.filter(F.col("id") < 120)
+         .select(F.col("id").alias("ib"), F.col("v").alias("vb")))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    bad = (pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cosine_arrow(F.col("va"), F.col("vb")).alias("arrow"))
+        .filter(~((F.col("jvm") == F.col("arrow"))
+                  | (F.isnan("jvm") & F.isnan("arrow"))
+                  | (F.col("jvm").isNull() & F.col("arrow").isNull())))
+        .count())
+    assert bad == 0
+
+    # ragged + NULL rows: the JVM zip_with pads with NULL -> NULL out
+    edge = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0]), (None, [1.0]),
+         ([1.5, -2.0], None)],
+        "va array<double>, vb array<double>")
+    got = [r.c for r in
+           edge.select(cosine_arrow("va", "vb").alias("c")).collect()]
+    assert got == [None, None, None]
+
+    # zero-norm vector: JVM ANSI division fails the job loudly —
+    # the Arrow kernel must too, not mint a silent NaN
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])],
+                                 "va array<double>, vb array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        zero.select(cosine_arrow("va", "vb").alias("c")).collect()
