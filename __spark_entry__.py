@@ -1592,7 +1592,7 @@ def q_dedup_text_pipeline(spark, sf_dir):
     + a recursive-CTE transitive closure."""
     from racket_linkeddata_spark.operators.graph import dedup_keepers
     from racket_linkeddata_spark.operators.textstats import (
-        minhash_lsh_candidates, shingles)
+        minhash_lsh_candidates, shingles_arrow)
 
     d = _docs(spark, sf_dir)
     # pin the candidate pairs (tiny — pairs only): consumed twice
@@ -1616,7 +1616,7 @@ def q_dedup_text_pipeline(spark, sf_dir):
     # no-op at production scale via ensure_parallelism's size gate)
     from racket_linkeddata_spark.operators.util import ensure_parallelism
     cd = ensure_parallelism(d.join(cand_ids, "doc_id"))
-    sh = (cd.select("doc_id", shingles(cd, 3).alias("sh"))
+    sh = (cd.select("doc_id", shingles_arrow(3)(F.col("text")).alias("sh"))
           .localCheckpoint(eager=False))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import shingles
+from .textstats import shingles_arrow
 
 
 def contamination_stats(docs: DataFrame, benchmark: DataFrame,
@@ -43,20 +43,21 @@ def contamination_stats(docs: DataFrame, benchmark: DataFrame,
     per-doc gram-count base) — pass a pinned/cheap lineage, or the
     upstream plan evaluates twice (the repo's self-join-over-expensive-
     trees gotcha)."""
+    grams = shingles_arrow(n)
     bench_grams = (benchmark
-                   .select(F.explode(shingles(benchmark, n, text_col))
+                   .select(F.explode(grams(F.col(text_col)))
                            .alias("g"))
                    .distinct())
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(shingles(docs, n, text_col)).alias("g"))
+        F.explode(grams(F.col(text_col))).alias("g"))
     hits = (doc_grams
             .join(F.broadcast(bench_grams), "g")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))
     base = docs.select(
         F.col(id_col),
-        F.size(shingles(docs, n, text_col)).cast("bigint")
+        F.size(grams(F.col(text_col))).cast("bigint")
         .alias("n_grams"))
     return (base
             .join(hits, id_col, "left")
@@ -81,12 +82,13 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     from the stats face and from the SQL ``ANTI JOIN`` replica. This
     also skips the per-doc gram-count branch entirely — the
     contaminated set needs only the (tiny) hit aggregate."""
+    grams = shingles_arrow(n)
     bench_grams = (benchmark
-                   .select(F.explode(shingles(benchmark, n, text_col))
+                   .select(F.explode(grams(F.col(text_col)))
                            .alias("g"))
                    .distinct())
     contam = (docs.select(F.col(id_col),
-                          F.explode(shingles(docs, n, text_col))
+                          F.explode(grams(F.col(text_col)))
                           .alias("g"))
               .join(F.broadcast(bench_grams), "g")
               .groupBy(id_col)

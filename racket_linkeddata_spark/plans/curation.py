@@ -42,7 +42,7 @@ def prep_corpus(docs: DataFrame, *,
     from racket_linkeddata_spark.operators.langid import lang_id_model
     from racket_linkeddata_spark.operators.mixture import mixture_sample
     from racket_linkeddata_spark.operators.textstats import (
-        minhash_lsh_candidates, quality_gate, shingles)
+        minhash_lsh_candidates, quality_gate, shingles_arrow)
     from racket_linkeddata_spark.operators.util import ensure_parallelism
 
     d = docs
@@ -74,7 +74,7 @@ def prep_corpus(docs: DataFrame, *,
                 .distinct())
     cd = surv.join(cand_ids, "doc_id")
     sh = ensure_parallelism(
-        cd.select("doc_id", shingles(cd, 3).alias("sh"))
+        cd.select("doc_id", shingles_arrow(3)(F.col("text")).alias("sh"))
         .localCheckpoint(eager=False))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -243,3 +243,55 @@ def test_lsh_plan_s_curve_math():
     import pytest
     with pytest.raises(ValueError):
         lsh_plan(1.5)
+
+
+def test_minhash_arrow_kernel_bit_identical_to_hof_spec(spark):
+    """The r07 Arrow minhash kernel must produce BIT-identical
+    signatures to the interpreted HOF tree it replaced (which stays in
+    the module as the executable spec) — on real corpus docs AND the
+    edge shapes: NULL text, empty text, short docs (< n tokens,
+    all-sentinel signature), repeated/leading/trailing spaces."""
+    from racket_linkeddata_spark.operators.textstats import (
+        _minhash_cols, _mins_arrow_udf, shingles)
+
+    n, k = 3, 16
+    base = _docs(spark).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one two"),
+         (100004, "a  b   c d"), (100005, " lead trail "),
+         (100006, "x y z x y z x y z")],
+        "doc_id long, text string")
+    d = base.unionByName(edge)
+    spec = d.select(
+        "doc_id", _minhash_cols(shingles(d, n), k).alias("mins"))
+    got = d.select(
+        "doc_id", _mins_arrow_udf(n, k)(F.col("text")).alias("mins"))
+    mism = (spec.alias("s")
+            .join(got.alias("g"), "doc_id")
+            .filter(F.col("s.mins") != F.col("g.mins"))
+            .count())
+    assert mism == 0
+
+
+def test_shingles_arrow_identical_to_expression_spec(spark):
+    """The r07 Arrow shingle kernel must produce IDENTICAL arrays
+    (values AND first-occurrence order) to the expression form on real
+    docs and the edge shapes — NULL/empty/short text, repeated
+    spaces."""
+    from racket_linkeddata_spark.operators.textstats import (
+        shingles, shingles_arrow)
+
+    for n in (3, 8):
+        base = _docs(spark).select("doc_id", "text")
+        edge = spark.createDataFrame(
+            [(200001, None), (200002, ""), (200003, "one two"),
+             (200004, "a  b   c d e f g h i"),
+             (200005, " x y z x y z x y z ")],
+            "doc_id long, text string")
+        d = base.unionByName(edge)
+        spec = d.select("doc_id", shingles(d, n).alias("s"))
+        got = d.select(
+            "doc_id", shingles_arrow(n)(F.col("text")).alias("s"))
+        mism = (spec.alias("a").join(got.alias("b"), "doc_id")
+                .filter(F.col("a.s") != F.col("b.s")).count())
+        assert mism == 0

@@ -91,18 +91,20 @@ def test_embedding_lsh_no_cross_product(spark):
 
 
 def test_minhash_tree_evaluated_exactly_once(spark):
-    """Round-2 judge item 3: the shingle+md5+minhash aggregate must appear
-    ONCE in the plan (round 2 textually duplicated it 16x across the mh
-    output columns and relied on Catalyst subexpression elimination — a
-    config flip away from 16x the cost). The explode(array(mins)) Generate
-    in _mins_table pins it structurally."""
+    """Round-2 judge item 3: the minhash signature kernel must appear
+    ONCE in the plan (round 2 textually duplicated the expression tree
+    16x across the mh output columns and relied on Catalyst
+    subexpression elimination — a config flip away from 16x the cost).
+    Since r07 the kernel is ONE Arrow UDF (mins_udf) behind the
+    explode(array(mins)) Generate barrier; the barrier still pins
+    single evaluation structurally."""
     from racket_linkeddata_spark.operators.textstats import (
         minhash_lsh_candidates)
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(minhash_lsh_candidates(docs))
-    assert p.count("md5") == 1
-    assert p.count("aggregate(") == 1
+    assert p.count("mins_udf") == 1
+    assert p.count("ArrowEvalPython") == 1
 
 
 def test_lsh_topk_dedup_carries_ids_only(spark):
