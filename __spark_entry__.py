@@ -1807,13 +1807,18 @@ LIMIT 10"""
 
 
 def q_events_window(spark, sf_dir):
-    from pyspark.sql.window import Window
-
+    """First event per user. r07: the row_number window (full
+    per-partition sort of every event) is replaced by ONE map-side-
+    combinable min(struct(ts, event_id, event_type)) aggregate —
+    identical result (struct ordering == the window's (ts, event_id)
+    ascending order, and event_id disambiguates ties), no Sort node,
+    half the shuffled bytes."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return (ev.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", F.col("event_type").alias("first_event")))
+    return (ev.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id", "event_type"))
+                 .alias("_m"))
+            .select("user_id",
+                    F.col("_m.event_type").alias("first_event")))
 
 
 def q_events_sessionize(spark, sf_dir):

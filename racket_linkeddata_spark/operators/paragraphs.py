@@ -53,10 +53,15 @@ def _split_sep(text, sep: str):
 
 def _paragraphs(docs: DataFrame, text_col: str, id_col: str,
                 sep: str) -> DataFrame:
+    from .util import ensure_parallelism
+
     # NULL text is '' (the repo-wide NULL-text rule — review r06a:
     # posexplode of a NULL array silently DROPS the document)
     t = F.coalesce(F.col(text_col), F.lit(""))
-    return (docs
+    # ensure_parallelism: the split + explode + md5-per-passage map
+    # side ran single-task on a one-split corpus scan (r07 measured
+    # 3.5 CPU-s in one task at sf1.0); no-op at production scale
+    return (ensure_parallelism(docs)
             .select(id_col,
                     F.posexplode(_split_sep(t, sep))
                     .alias("pos", "para"))

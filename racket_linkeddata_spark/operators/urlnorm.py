@@ -83,8 +83,12 @@ def canonical_url(c: Column) -> Column:
 def dedup_by_canonical_url(pages, url_col: str = "url"):
     """(canonical_url, keep_url, n_variants): one keeper per canonical
     key — min original url for determinism. One map-side-combinable
-    hash aggregate."""
-    return (pages
+    hash aggregate. ensure_parallelism: the canonicalization regex
+    chain is the CPU-heavy map side and a small corpus scan packs into
+    one split (no-op at production scale)."""
+    from .util import ensure_parallelism
+
+    return (ensure_parallelism(pages)
             .withColumn("canon_url", canonical_url(F.col(url_col)))
             .groupBy("canon_url")
             .agg(F.min(url_col).alias("keep_url"),
