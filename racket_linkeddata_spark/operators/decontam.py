@@ -112,7 +112,8 @@ def _validate_banding(k: int, bands: int):
 
 
 def _bands_for(df: DataFrame, n: int, k: int, bands: int,
-               text_col: str, id_col: str, out_id: str) -> DataFrame:
+               text_col: str, id_col: str, out_id: str,
+               parallel: bool = True) -> DataFrame:
     """(out_id, band, bucket) MinHash-LSH band table with the
     EMPTY-SIGNATURE bands removed: a doc with fewer than ``n`` tokens
     minhashes to the all-sentinel signature (textstats._minhash_cols'
@@ -127,7 +128,7 @@ def _bands_for(df: DataFrame, n: int, k: int, bands: int,
     renamed = df.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("text"))
     sentinel = "\x1f".join([str(_MERSENNE)] * (k // bands))
-    return (_lsh_band_table(renamed, n, k, bands)
+    return (_lsh_band_table(renamed, n, k, bands, parallel=parallel)
             .filter(F.col("bucket") != sentinel)
             .select(F.col("doc_id").alias(out_id), "band", "bucket"))
 
@@ -160,8 +161,11 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, *,
             f"would collide with the other output columns "
             f"(bench_id, n_shared_bands)")
     cb = _bands_for(docs, n, k, bands, text_col, id_col, "doc_id")
+    # parallel=False: eval sets are tiny (MBs); fanning 20 rows out to
+    # 64 partitions cost 16 CPU-s of per-task Arrow-UDF overhead for
+    # zero parallelism gain (r07 profile)
     bb = _bands_for(benchmark, n, k, bands, text_col, id_col,
-                    "bench_id")
+                    "bench_id", parallel=False)
     return (cb.join(F.broadcast(bb), ["band", "bucket"])
             .groupBy("doc_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))

@@ -259,7 +259,8 @@ def _mins_arrow_udf(n: int, k: int):
     return mins_udf
 
 
-def _mins_table(docs: DataFrame, n: int, k: int) -> DataFrame:
+def _mins_table(docs: DataFrame, n: int, k: int,
+                parallel: bool = True) -> DataFrame:
     """(doc_id, mins array<bigint>) with the minhash kernel pinned to
     exactly ONE evaluation: the Arrow UDF is the generator input of an
     ``explode(array(...))`` Generate node, and projections do not
@@ -269,7 +270,8 @@ def _mins_table(docs: DataFrame, n: int, k: int) -> DataFrame:
     tests/test_plans.py pins single evaluation structurally)."""
     from .util import ensure_parallelism
 
-    docs = ensure_parallelism(docs)  # the kernel stage is CPU-bound
+    if parallel:
+        docs = ensure_parallelism(docs)  # the kernel stage is CPU-bound
     mins = _mins_arrow_udf(n, k)(F.col("text"))
     return docs.select("doc_id", F.explode(F.array(mins)).alias("mins"))
 
@@ -367,7 +369,8 @@ def minhash_lsh_candidates(docs: DataFrame, n: int = 3, k: int = 16,
             .distinct())
 
 
-def _lsh_band_table(docs: DataFrame, n: int, k: int, bands: int) -> DataFrame:
+def _lsh_band_table(docs: DataFrame, n: int, k: int, bands: int,
+                    parallel: bool = True) -> DataFrame:
     """One row per (doc, band) with a COLLISION-FREE string bucket key:
     the band's minhash values joined with an ASCII unit separator. Round 2
     bucketed on xxhash64(mh...) — a 64-bit hash whose collisions could
@@ -382,7 +385,7 @@ def _lsh_band_table(docs: DataFrame, n: int, k: int, bands: int) -> DataFrame:
     Generates (see _mins_table), so the minhash tree is evaluated once
     per doc regardless of bands."""
     rows_per_band = k // bands
-    return (_mins_table(docs, n, k)
+    return (_mins_table(docs, n, k, parallel=parallel)
             .select("doc_id", "mins",
                     F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
                     .alias("band"))
