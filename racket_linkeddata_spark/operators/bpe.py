@@ -129,6 +129,8 @@ def bpe_token_count(docs: DataFrame, merges: Merges,
 
     @F.pandas_udf("bigint")
     def udf(texts: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         cache: Dict[str, int] = {}
 
         def count(t) -> int:

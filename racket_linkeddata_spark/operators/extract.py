@@ -54,6 +54,8 @@ def extract_triples(
     pruned = ensure_parallelism(pages.select("url", "html"))
 
     def fn(batches):
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         ctxs = contexts_broadcast.value if contexts_broadcast is not None \
             else None
         marker = _MARKER

@@ -39,6 +39,8 @@ def _lift(transform):
         from .util import ensure_parallelism
 
         def fn(batches):
+            from .util import worker_runtime_tune
+            worker_runtime_tune()
             for pdf in batches:
                 ids, outs, errs = [], [], []
                 bases = (pdf[base_col].tolist() if base_col
@@ -129,6 +131,8 @@ def from_rdf_documents(docs: DataFrame, *, id_col: str = "doc_id",
     from .util import ensure_parallelism
 
     def fn(batches):
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         for pdf in batches:
             ids, outs, errs = [], [], []
             for i, txt in zip(pdf[id_col].tolist(),

@@ -515,6 +515,8 @@ def lang_id_model(docs: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("struct<lang:string, lang_score:bigint>")
     def udf(texts: pd.Series) -> pd.DataFrame:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         out = [_classify(t, langs, index, sample_chars) for t in texts]
         return pd.DataFrame(out, columns=["lang", "lang_score"])
 

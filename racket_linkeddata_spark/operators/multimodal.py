@@ -62,6 +62,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     import pandas as pd
 
     def fn(batches):
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "ts_ms": [],
                    "frame_payload": []}
@@ -102,6 +104,8 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
     target = width * height
 
     def fn(batches):
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -122,6 +126,8 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     import pandas as pd
 
     def fn(batches):
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],

@@ -145,6 +145,8 @@ def pack_greedy(docs: DataFrame, budget: int, n_shards: int, *,
     id_field = base.schema[id_col]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         pdf = pdf.sort_values("pos", kind="stable")
         seqs = []
         seq, fill = 0, 0

@@ -117,6 +117,8 @@ def _encode_udf(cb: np.ndarray, scale: int):
 
     @F.pandas_udf("array<int>")
     def codes(vecs: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         a = np.floor(np.asarray(vecs.tolist(), dtype=np.float64)
@@ -359,6 +361,8 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame,
         the same matmul).  mapInPandas admits no pushdown, and emitting
         rows from Python also removes the Generate — this IS the
         materialization boundary a real deployment persists."""
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         for pdf in batches:
             if len(pdf) == 0:
                 continue

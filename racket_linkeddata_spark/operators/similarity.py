@@ -60,6 +60,8 @@ def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     float vector as NaN, indistinguishable from a genuine NaN, so
     such rows yield NaN rather than NULL — no corpus in this repo
     produces one."""
+    from .util import worker_runtime_tune
+    worker_runtime_tune()
     n = len(a)
     if n == 0:
         return pd.Series([], dtype="float64")
@@ -281,6 +283,8 @@ def _srp_buckets_udf(n_planes: int, n_tables: int):
 
     @F.pandas_udf("array<int>")
     def buckets_udf(vecs: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         m = np.asarray(vecs.tolist(), dtype=np.float64)
@@ -346,6 +350,8 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 64,
 
         @F.pandas_udf("int")
         def nearest(vecs: pd.Series) -> pd.Series:
+            from .util import worker_runtime_tune
+            worker_runtime_tune()
             if len(vecs) == 0:
                 return pd.Series([], dtype="int32")
             m = np.asarray(vecs.tolist(), dtype=np.float64)
@@ -468,6 +474,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
         ascending id)."""
         @F.pandas_udf("array<long>")
         def cells(vecs: pd.Series) -> pd.Series:
+            from .util import worker_runtime_tune
+            worker_runtime_tune()
             if len(vecs) == 0:
                 return pd.Series([], dtype=object)
             m = np.asarray(vecs.tolist(), dtype=np.float64)

@@ -103,6 +103,8 @@ def shingles_arrow(n: int = 3):
 
     @F.pandas_udf(ArrayType(StringType()))
     def sh_udf(texts: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         out = []
         for t in texts:
             if t is None:
@@ -227,6 +229,8 @@ def _mins_arrow_udf(n: int, k: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def mins_udf(texts: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         flat: list = []
         offs = [0]
         for t in texts:
@@ -444,6 +448,8 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
 
     @F.pandas_udf("bigint")
     def sim(texts: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         flat: list = []
         offs = [0]
         for t in texts:
@@ -508,6 +514,8 @@ def fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
 
     @F.pandas_udf("fp_min string, fp_max string")
     def fp(texts: pd.Series) -> pd.DataFrame:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         mins, maxs = [], []
         md5 = hashlib.md5
         for t in texts:
@@ -555,6 +563,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     @F.pandas_udf("struct<n_tokens:bigint, top_token_count:bigint, "
                   "top_token_x1000:bigint, dup_token_x1000:bigint>")
     def rep(texts: pd.Series) -> pd.DataFrame:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         rows = []
         for t in texts:
             toks = (t or "").split(" ")

@@ -38,6 +38,8 @@ _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
 def _normalizer(form: str):
     @pandas_udf("string")
     def norm(s: pd.Series) -> pd.Series:
+        from .util import worker_runtime_tune
+        worker_runtime_tune()
         # Series.str.normalize: unicodedata.normalize per element with
         # built-in NA passthrough
         return s.str.normalize(form)

@@ -23,6 +23,51 @@ _WIDE_OPS = ("Join", "Aggregate", "Sort", "Window", "Repartition",
              "Deduplicate", "Distinct", "Except", "Intersect")
 
 
+def worker_runtime_tune() -> None:
+    """Per-worker runtime fix, called at the top of every Arrow/pandas
+    kernel in this repo (idempotent, ~ns after the first call): guard
+    ``zipimport.zipimporter.invalidate_caches`` with an archive-mtime
+    check.
+
+    Why: Spark's Python worker runs ``setup_spark_files`` for EVERY
+    task, which ends in ``importlib.invalidate_caches()``; CPython
+    3.11's zipimporter re-parses the whole zip central directory on
+    every call, unconditionally — and the workers here import pyspark
+    from the distribution's multi-MB ``pyspark.zip``, so each parse
+    costs ~80-105 ms (measured with a worker-side probe: mean task
+    setup 250-290 ms of which setup_spark_files was ~130 ms, while the
+    actual UDF compute was ~2 ms). Later CPythons only re-read when
+    the archive changed; this backports that behavior for the
+    long-lived reused workers. Semantics are preserved: a NEW zip on
+    sys.path gets a fresh zipimporter (first call always reads), and a
+    replaced/updated zip changes mtime and is re-read.
+
+    This must run INSIDE the worker process, which is exactly where
+    the repo's UDF bodies execute — hence the call-from-kernel shape
+    rather than a session conf (there is none for it)."""
+    import zipimport
+
+    zi = zipimport.zipimporter
+    if getattr(zi, "_zip_mtime_guard", False):
+        return
+    import os as _os
+
+    orig = zi.invalidate_caches
+
+    def invalidate_caches(self):
+        try:
+            mtime = _os.stat(self.archive).st_mtime
+        except OSError:
+            return orig(self)
+        if getattr(self, "_seen_zip_mtime", None) == mtime:
+            return None
+        self._seen_zip_mtime = mtime
+        return orig(self)
+
+    zi.invalidate_caches = invalidate_caches
+    zi._zip_mtime_guard = True
+
+
 def f64_sql(x: float) -> str:
     """A float64 as a DuckDB literal that parses back BIT-EXACT — for
     oracles that pin trained/derived float tables as VALUES literals
