@@ -68,6 +68,27 @@ def worker_runtime_tune() -> None:
     zi._zip_mtime_guard = True
 
 
+def parallel_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """localCheckpoint that downstream stages can actually consume in
+    parallel. A small join/aggregate output lands in ONE partition
+    (broadcast joins inherit a single-split scan; AQE coalesces small
+    shuffles) and the checkpoint stores it that way. A repartition ON
+    TOP of the checkpoint is not enough: Catalyst pushes projections
+    and filters THROUGH a repartition, so an expensive expression tree
+    (the quality-gate signals — measured 4.7 CPU-s in one task at
+    sf1.0) still evaluates on the 1-partition side of the exchange.
+    When the stored checkpoint is starved, checkpoint AGAIN above the
+    repartition — consumers then scan a genuinely parallel RDD, which
+    no pushdown can reach through. At production scale the partition
+    probe says the first checkpoint is already parallel and the second
+    materialization never happens."""
+    ck = df.localCheckpoint(eager=eager)
+    ep = ensure_parallelism(ck)
+    if ep is ck:
+        return ck
+    return ep.localCheckpoint(eager=eager)
+
+
 def f64_sql(x: float) -> str:
     """A float64 as a DuckDB literal that parses back BIT-EXACT — for
     oracles that pin trained/derived float tables as VALUES literals

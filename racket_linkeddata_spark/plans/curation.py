@@ -43,28 +43,28 @@ def prep_corpus(docs: DataFrame, *,
     from racket_linkeddata_spark.operators.mixture import mixture_sample
     from racket_linkeddata_spark.operators.textstats import (
         minhash_lsh_candidates, quality_gate, shingles_arrow)
-    from racket_linkeddata_spark.operators.util import ensure_parallelism
+    from racket_linkeddata_spark.operators.util import (
+        ensure_parallelism, parallel_checkpoint)
 
     d = docs
     # stage 1: exact dedup — one map-side-combinable aggregate on the
     # text hash, survivors rejoined by id.
     #
-    # Every localCheckpoint below is wrapped in ensure_parallelism
-    # AFTER checkpointing: these small join outputs land in ONE
-    # partition (a broadcast join inherits the single-split scan; a
-    # shuffle join gets AQE-coalesced), the checkpoint stores them
-    # that way, and every downstream CPU-bound stage (the minhash
-    # tree, the 8-gram decontam explode, the langid/BPE UDFs) would
-    # run single-task — measured 28 s for the minhash stage alone at
-    # sf1.0. On the checkpointed (narrow LogicalRDD) side the real
-    # partition count is observable, so ensure_parallelism repartitions
-    # exactly when starved and is a no-op at production scale.
+    # Every pin below is util.parallel_checkpoint: these small join
+    # outputs land in ONE partition (a broadcast join inherits the
+    # single-split scan; a shuffle join gets AQE-coalesced), a plain
+    # localCheckpoint stores them that way, and every downstream
+    # CPU-bound stage (the minhash tree, the 8-gram decontam explode,
+    # the quality signals, the langid/BPE UDFs) would run single-task
+    # — measured 28 s for the minhash stage alone at sf1.0, and a
+    # bare repartition on top is not enough because Catalyst pushes
+    # projections through it (see parallel_checkpoint's docstring).
+    # No-op at production scale (partition probe).
     keep1 = (d.select("doc_id", F.md5("text").alias("th"))
              .groupBy("th").agg(F.min("doc_id").alias("doc_id"))
              .select("doc_id"))
-    surv = ensure_parallelism(
-        d.join(keep1, "doc_id")
-        .localCheckpoint(eager=False))  # consumed by 3 stages
+    surv = parallel_checkpoint(
+        d.join(keep1, "doc_id"))  # consumed by 3 stages
 
     # stage 2: near-dup, scoped to exact-dedup survivors
     cand = minhash_lsh_candidates(surv, n=3, k=16,
@@ -73,9 +73,8 @@ def prep_corpus(docs: DataFrame, *,
                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
     cd = surv.join(cand_ids, "doc_id")
-    sh = ensure_parallelism(
-        cd.select("doc_id", shingles_arrow(3)(F.col("text")).alias("sh"))
-        .localCheckpoint(eager=False))
+    sh = parallel_checkpoint(
+        cd.select("doc_id", shingles_arrow(3)(F.col("text")).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
@@ -95,9 +94,9 @@ def prep_corpus(docs: DataFrame, *,
               min_stopwords=1, max_symbol_x1000=100,
               max_bullet_x1000=900, max_ellipsis_x1000=300)
     qk.update(quality_kwargs or {})
-    gated = ensure_parallelism(quality_gate(
+    gated = parallel_checkpoint(quality_gate(
         surv.join(kept, "doc_id").select("doc_id", "text", "source"),
-        **qk).localCheckpoint(eager=False))
+        **qk))
 
     # stage 4: benchmark decontamination (broadcast gram probe)
     clean = decontaminate(gated, benchmark, n=decontam_n) \
@@ -108,7 +107,7 @@ def prep_corpus(docs: DataFrame, *,
     mixed = mixture_sample(clean, mixture_weights,
                            default_weight=default_weight) \
         if mixture_weights else clean
-    mixed = ensure_parallelism(mixed.localCheckpoint(eager=False))
+    mixed = parallel_checkpoint(mixed)
 
     # stage 6: annotate survivors — both map-only ops
     lang = lang_id_model(mixed).select("doc_id", "lang")
