@@ -98,6 +98,20 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(contam, id_col, "left_anti")
 
 
+def _is_sizeable(df: DataFrame, threshold: int = 8 * 1024 * 1024) -> bool:
+    """True when the plan's size estimate says the table is worth a
+    parallelism fan-out (>= ``threshold`` bytes, default 8 MB — about
+    one task's worth of CPU-bound kernel work). Unknown/absurd
+    estimates count as sizeable: over-parallelising costs per-task
+    overhead, under-parallelising costs single-task starvation."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return True
+    return est >= threshold
+
+
 def _validate_banding(k: int, bands: int):
     """bands > k makes rows_per_band = k // bands = 0: every bucket
     degenerates to the empty string, which equals the empty-signature
@@ -161,11 +175,13 @@ def fuzzy_contamination(docs: DataFrame, benchmark: DataFrame, *,
             f"would collide with the other output columns "
             f"(bench_id, n_shared_bands)")
     cb = _bands_for(docs, n, k, bands, text_col, id_col, "doc_id")
-    # parallel=False: eval sets are tiny (MBs); fanning 20 rows out to
-    # 64 partitions cost 16 CPU-s of per-task Arrow-UDF overhead for
-    # zero parallelism gain (r07 profile)
+    # benchmark side fans out only when it is big enough to benefit:
+    # repartitioning a 20-row eval table to 64 partitions cost 16
+    # CPU-s of per-task Arrow-UDF overhead for zero gain (r07
+    # profile), but a caller CAN pass a multi-MB benchmark — size
+    # probe, not a baked-in "tiny" assumption (r07 review)
     bb = _bands_for(benchmark, n, k, bands, text_col, id_col,
-                    "bench_id", parallel=False)
+                    "bench_id", parallel=_is_sizeable(benchmark))
     return (cb.join(F.broadcast(bb), ["band", "bucket"])
             .groupBy("doc_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))

@@ -242,7 +242,8 @@ def embedding_near_dup_lsh(embeddings: DataFrame, threshold: float = 0.85,
     # the pair side "small" and BROADCASTS millions of pairs (BuildLeft
     # — measured 43 s vs 10 s at sf1.0); unlike the old distinct this
     # exchange carries no 7M-entry aggregate hash table.
-    npart = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    from .util import parallelism_target
+    npart = parallelism_target(embeddings)
     cand = (grouped.select(F.explode(pairs).alias("p"))
             .select("p.id_a", "p.id_b")
             .repartition(npart, "id_a", "id_b"))

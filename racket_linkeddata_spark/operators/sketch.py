@@ -102,12 +102,18 @@ def cms_sketch(df: DataFrame, col: str, *, width: int = 256,
                 .select(F.posexplode(hashes).alias("row", "col"))
                 .groupBy("row", "col")
                 .agg(F.count(F.lit(1)).alias("cnt")))
+    # collision-safe working column (the r06e/r06f convention): an
+    # input value column literally named '_vn' would otherwise make
+    # the post-aggregate select AMBIGUOUS_REFERENCE
+    vn = "_vn"
+    while vn in df.columns:
+        vn = "_" + vn
     vals = (df.filter(F.col(col).isNotNull())
-            .groupBy(col).agg(F.count(F.lit(1)).alias("_vn")))
+            .groupBy(col).agg(F.count(F.lit(1)).alias(vn)))
     return (vals
-            .select(F.posexplode(hashes).alias("row", "col"), "_vn")
+            .select(F.posexplode(hashes).alias("row", "col"), vn)
             .groupBy("row", "col")
-            .agg(F.sum("_vn").alias("cnt")))
+            .agg(F.sum(vn).alias("cnt")))
 
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str, *,

@@ -162,6 +162,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 _MERSENNE = (1 << 31) - 1
 
+# max grams expanded per minimum.reduceat fold in the Arrow minhash
+# kernel (memory cap: cap * k * 8 bytes of transient matrix)
+_MINS_FOLD_CAP = 1 << 19
+
 
 def _minhash_cols(shingle_col, k: int):
     # base hash = top 60 bits of md5 folded into 31 bits (so a*h+b never
@@ -250,14 +254,32 @@ def _mins_arrow_udf(n: int, k: int):
              % (1 << 31) for g in uniq),
             dtype=np.int64, count=len(uniq))
         rh = (base[:, None] * mul + add) % _MERSENNE      # (U, k)
-        per = rh[inv]                                     # (F, k)
         offs_a = np.asarray(offs)
         counts = np.diff(offs_a)
         out = np.full((len(texts), k), _MERSENNE, dtype=np.int64)
-        nonempty = counts > 0
-        if nonempty.any():
-            out[nonempty] = np.minimum.reduceat(
-                per, offs_a[:-1][nonempty], axis=0)
+        nonempty = np.flatnonzero(counts > 0)
+        # chunked fold: expanding rh[inv] for the WHOLE batch is a
+        # (total grams x k) int64 matrix — unbounded in batch gram
+        # count (8192 large docs could be tens of GB; r07 review).
+        # Fold doc groups whose gram total stays under the cap, so
+        # peak extra memory is ~cap * k * 8 bytes (~64 MB default).
+        cap = _MINS_FOLD_CAP
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            total = 0
+            while hi < len(nonempty) and (total == 0
+                                          or total + counts[nonempty[hi]]
+                                          <= cap):
+                total += counts[nonempty[hi]]
+                hi += 1
+            docs_idx = nonempty[lo:hi]
+            g0 = offs_a[docs_idx[0]]
+            g1 = offs_a[docs_idx[-1]] + counts[docs_idx[-1]]
+            per = rh[inv[g0:g1]]
+            out[docs_idx] = np.minimum.reduceat(
+                per, offs_a[docs_idx] - g0, axis=0)
+            lo = hi
         return pd.Series(list(out))
 
     return mins_udf
